@@ -1,0 +1,104 @@
+"""Code predictor: 5-layer decoder emitting 15 acoustic codes per frame.
+
+Per frame (reference: src/models/code_predictor.rs:320-416):
+  1. prefill the 5-layer stack with [talker_hidden, semantic_embed]
+     (projected 2048->1024 on 1.7B models),
+  2. greedy-predict acoustic code 0 from lm_head[0] at the last position,
+  3. 14 single-token decode steps: embed the previous code with the previous
+     group's embedding table, run the stack, predict with the group's head.
+
+TPU design: the whole inner loop is a ``lax.scan`` over the 14 remaining
+groups with the stacked per-group embedding tables and lm heads as scan
+inputs — XLA slices each group's [vocab, dim] table per iteration without
+dynamic gathers, and the KV cache (17 rows) lives entirely in registers/VMEM
+for the duration of the frame. Everything is argmax (no sampling), so the
+frame is fully deterministic given the talker hidden state.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import nn
+from .config import CodePredictorConfig
+
+# 2 prefill positions + 15 decode tokens; the 15th is never attended but
+# keeping the power-of-two-ish row count static avoids special-casing.
+CP_MAX_SEQ = 17
+
+
+def _maybe_project(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    proj = params.get("mtp_proj")
+    if proj is None:
+        return x
+    return x @ proj["w"] + proj["b"]
+
+
+def predict_acoustic_codes(
+    params: dict,
+    cfg: CodePredictorConfig,
+    talker_hidden: jnp.ndarray,
+    semantic_embed: jnp.ndarray,
+) -> jnp.ndarray:
+    """All 15 acoustic codes for one frame.
+
+    talker_hidden, semantic_embed: [1, 1, embed_dim] (talker hidden size).
+    Returns int32 [num_acoustic].
+    """
+    stack_cfg = cfg.layer_stack()
+    cache = nn.init_kv_cache(stack_cfg, batch=1, max_seq=CP_MAX_SEQ, dtype=talker_hidden.dtype)
+
+    # --- prefill: [talker_hidden, semantic_embed] ---
+    x = jnp.concatenate([talker_hidden, semantic_embed], axis=1)
+    x = _maybe_project(params, x)
+    positions = jnp.arange(2, dtype=jnp.int32)
+    h, cache = nn.run_layer_stack(
+        params["layers"], x, stack_cfg, cache, positions, jnp.int32(0)
+    )
+    h = nn.rms_norm(h, params["norm"], cfg.rms_norm_eps)
+
+    last = h[:, 1:2, :]
+    logits0 = last @ params["lm_heads"][0]
+    code0 = jnp.argmax(logits0[:, 0, :], axis=-1).astype(jnp.int32)[0]
+
+    # --- 14 decode steps over groups 1..14 ---
+    def step(carry, group_inputs):
+        prev_code, cache, pos = carry
+        embed_table, lm_head = group_inputs  # [vocab, embed_dim], [hidden, vocab]
+        x = embed_table[prev_code][None, None, :]
+        x = _maybe_project(params, x)
+        h, cache = nn.run_layer_stack(
+            params["layers"], x, stack_cfg, cache, pos[None], pos
+        )
+        h = nn.rms_norm(h, params["norm"], cfg.rms_norm_eps)
+        logits = h[:, 0, :] @ lm_head
+        code = jnp.argmax(logits, axis=-1).astype(jnp.int32)[0]
+        return (code, cache, pos + 1), code
+
+    n = cfg.num_acoustic
+    init = (code0, cache, jnp.int32(2))
+    # Group g embeds with table g-1 and predicts with head g.
+    (_, _, _), rest = jax.lax.scan(
+        step, init, (params["codec_embeddings"][: n - 1], params["lm_heads"][1:n])
+    )
+    return jnp.concatenate([code0[None], rest], axis=0)
+
+
+def acoustic_embedding_sum(params: dict, codes: jnp.ndarray) -> jnp.ndarray:
+    """Sum of per-group embeddings of a frame's acoustic codes.
+
+    codes: int32 [num_acoustic]. Returns [1, 1, embed_dim]. One batched gather
+    (take_along_axis over the stacked [G, vocab, dim] tables) instead of 15
+    small lookups (reference: code_predictor.rs:497-519).
+    """
+    tables = params["codec_embeddings"]  # [G, vocab, dim]
+    picked = jnp.take_along_axis(
+        tables, codes[:, None, None].astype(jnp.int32), axis=1
+    )  # [G, 1, dim]
+    return picked.sum(axis=0)[None]
+
+
+def embed_codes_for_group(params: dict, group_idx: int, codes: jnp.ndarray) -> jnp.ndarray:
+    """Embed a [T] code sequence with acoustic group ``group_idx``'s table -> [1, T, dim]."""
+    return params["codec_embeddings"][group_idx][codes][None]

@@ -1,0 +1,217 @@
+"""Talker model: 28-layer GQA decoder generating semantic codec tokens.
+
+Functional JAX implementation. Parameters are a pytree (see
+``qwen3_tts_tpu.models.weights``); every function here is jit-traceable with
+static shapes so the whole prefill + generation pipeline compiles to a single
+XLA program.
+
+Behavioral parity reference: /root/reference/src/models/talker.rs (dual
+text/codec embeddings, SiLU text projection, the three variant prompt
+layouts, final-norm + codec head).
+
+Prompt layouts (each row of the prompt embedding is one position):
+
+CustomVoice (talker.rs:451-491), 10 positions:
+    [0..3)  text_proj(text_emb([im_start, assistant, newline]))
+    [3..9)  text_proj(text_emb([pad x5, bos])) + codec_emb([think, think_bos,
+            lang, think_eos, speaker, codec_pad])
+    [9]     text_proj(text_emb(first_text)) + codec_emb(codec_bos)
+
+VoiceClone (talker.rs:511-563): same as CustomVoice but the speaker slot
+holds the continuous x-vector instead of codec_emb(speaker); in ICL mode the
+final (first_text + codec_bos) position is omitted (9 positions).
+
+VoiceDesign (talker.rs:585-626): ChatML instruct prefix prepended; no speaker
+slot (overlay is pad x4 + bos over [think, think_bos, lang, think_eos,
+codec_pad]); 9 positions after the instruct.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import nn
+from . import tokens as T
+from .config import TalkerConfig
+
+
+def text_project(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """Text projection: fc1 -> SiLU -> fc2 (both with bias)."""
+    tp = params["text_projection"]
+    h = jax.nn.silu(x @ tp["fc1_w"] + tp["fc1_b"])
+    return h @ tp["fc2_w"] + tp["fc2_b"]
+
+
+def embed_text(params: dict, ids: jnp.ndarray) -> jnp.ndarray:
+    """Projected text embeddings for token ids of any shape -> [..., hidden]."""
+    return text_project(params, params["text_embedding"][ids])
+
+
+def embed_codec(params: dict, ids: jnp.ndarray) -> jnp.ndarray:
+    """Codec-vocabulary embeddings [..., hidden]."""
+    return params["codec_embedding"][ids]
+
+
+def _role_prefix(params: dict) -> jnp.ndarray:
+    """[3, hidden] projected embeddings of <|im_start|>assistant\\n."""
+    ids = jnp.array([T.IM_START, T.ASSISTANT, T.NEWLINE], dtype=jnp.int32)
+    return embed_text(params, ids)
+
+
+def build_custom_voice_prompt(
+    params: dict, first_text_id: jnp.ndarray, speaker_id: int, lang_id: int
+) -> jnp.ndarray:
+    """CustomVoice prompt embedding [1, 10, hidden]."""
+    role = _role_prefix(params)
+    codec_ids = jnp.array(
+        [T.CODEC_THINK, T.CODEC_THINK_BOS, lang_id, T.CODEC_THINK_EOS, speaker_id, T.CODEC_PAD],
+        dtype=jnp.int32,
+    )
+    overlay_text = embed_text(
+        params, jnp.array([T.TTS_PAD] * 5 + [T.TTS_BOS], dtype=jnp.int32)
+    )
+    overlay = overlay_text + embed_codec(params, codec_ids)
+    first = embed_text(params, first_text_id[None]) + embed_codec(
+        params, jnp.array([T.CODEC_BOS], dtype=jnp.int32)
+    )
+    return jnp.concatenate([role, overlay, first], axis=0)[None]
+
+
+def build_voice_clone_prompt(
+    params: dict,
+    first_text_id: jnp.ndarray,
+    speaker_embed: jnp.ndarray,
+    lang_id: int,
+    icl_mode: bool,
+) -> jnp.ndarray:
+    """VoiceClone prompt embedding [1, 10, hidden] (or [1, 9, hidden] in ICL).
+
+    ``speaker_embed``: [hidden] continuous x-vector replacing the discrete
+    speaker token embedding.
+    """
+    role = _role_prefix(params)
+    prefix = embed_codec(
+        params,
+        jnp.array(
+            [T.CODEC_THINK, T.CODEC_THINK_BOS, lang_id, T.CODEC_THINK_EOS], dtype=jnp.int32
+        ),
+    )
+    pad = embed_codec(params, jnp.array([T.CODEC_PAD], dtype=jnp.int32))
+    codec_rows = jnp.concatenate(
+        [prefix, speaker_embed.astype(prefix.dtype)[None], pad], axis=0
+    )
+    overlay_text = embed_text(
+        params, jnp.array([T.TTS_PAD] * 5 + [T.TTS_BOS], dtype=jnp.int32)
+    )
+    overlay = overlay_text + codec_rows
+    rows = [role, overlay]
+    if not icl_mode:
+        first = embed_text(params, first_text_id[None]) + embed_codec(
+            params, jnp.array([T.CODEC_BOS], dtype=jnp.int32)
+        )
+        rows.append(first)
+    return jnp.concatenate(rows, axis=0)[None]
+
+
+def build_voice_design_suffix(
+    params: dict, first_text_id: jnp.ndarray, lang_id: int
+) -> jnp.ndarray:
+    """VoiceDesign post-instruct rows [9, hidden]: role(3) + overlay(5) + first(1)."""
+    role = _role_prefix(params)
+    codec_ids = jnp.array(
+        [T.CODEC_THINK, T.CODEC_THINK_BOS, lang_id, T.CODEC_THINK_EOS, T.CODEC_PAD],
+        dtype=jnp.int32,
+    )
+    overlay_text = embed_text(
+        params, jnp.array([T.TTS_PAD] * 4 + [T.TTS_BOS], dtype=jnp.int32)
+    )
+    overlay = overlay_text + embed_codec(params, codec_ids)
+    first = embed_text(params, first_text_id[None]) + embed_codec(
+        params, jnp.array([T.CODEC_BOS], dtype=jnp.int32)
+    )
+    return jnp.concatenate([role, overlay, first], axis=0)
+
+
+def build_trailing_text(
+    params: dict, text_ids: jnp.ndarray, text_len: jnp.ndarray
+) -> jnp.ndarray:
+    """Per-frame text-fusion rows [Tb, hidden], right-filled with tts_pad.
+
+    Row i holds text token i+1 for i < text_len-1, tts_eos at i = text_len-1,
+    and tts_pad beyond — matching the reference's trailing-text schedule
+    (src/lib.rs:508-519) with a static bucket length Tb = text_ids.shape[0].
+    """
+    tb = text_ids.shape[0]
+    emb = embed_text(params, text_ids)  # [Tb, hidden]
+    shifted = jnp.concatenate([emb[1:], jnp.zeros_like(emb[:1])], axis=0)
+    eos = embed_text(params, jnp.array([T.TTS_EOS], dtype=jnp.int32))
+    pad = embed_text(params, jnp.array([T.TTS_PAD], dtype=jnp.int32))
+    idx = jnp.arange(tb)[:, None]
+    out = jnp.where(idx < text_len - 1, shifted, jnp.where(idx == text_len - 1, eos, pad))
+    return out
+
+
+def tts_pad_embed(params: dict) -> jnp.ndarray:
+    """[1, hidden] projected tts_pad embedding (post-trailing filler)."""
+    return embed_text(params, jnp.array([T.TTS_PAD], dtype=jnp.int32))
+
+
+def forward(
+    params: dict,
+    cfg: TalkerConfig,
+    x: jnp.ndarray,
+    cache: nn.KVCache,
+    positions: jnp.ndarray,
+    write_pos: jnp.ndarray,
+) -> tuple[jnp.ndarray, nn.KVCache]:
+    """Run the layer stack on embeddings x [1, S, hidden]; returns normed hidden."""
+    h, cache = nn.run_layer_stack(
+        params["layers"], x, cfg.layer_stack(), cache, positions, write_pos
+    )
+    h = nn.rms_norm(h, params["norm"], cfg.rms_norm_eps)
+    return h, cache
+
+
+def codec_logits(params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
+    """Codec head on (already normed) hidden states: [..., codec_vocab]."""
+    return hidden @ params["codec_head"]
+
+
+def prefill(
+    params: dict,
+    cfg: TalkerConfig,
+    prompt: jnp.ndarray,
+    prefill_len: jnp.ndarray,
+    cache: nn.KVCache,
+    write_pos: jnp.ndarray | int = 0,
+) -> tuple[jnp.ndarray, jnp.ndarray, nn.KVCache]:
+    """Prefill with a right-padded prompt embedding [1, Pb, hidden].
+
+    Returns (last_hidden [1,1,hidden] normed, logits [1, codec_vocab] at the
+    last valid position, updated cache).
+    """
+    pb = prompt.shape[1]
+    write_pos = jnp.asarray(write_pos, jnp.int32)
+    positions = write_pos + jnp.arange(pb, dtype=jnp.int32)
+    h, cache = forward(params, cfg, prompt, cache, positions, write_pos)
+    last = jax.lax.dynamic_slice_in_dim(h, prefill_len - 1, 1, axis=1)
+    logits = codec_logits(params, last)[:, 0, :]
+    return last, logits, cache
+
+
+def decode_step(
+    params: dict,
+    cfg: TalkerConfig,
+    step_embed: jnp.ndarray,
+    pos: jnp.ndarray,
+    cache: nn.KVCache,
+) -> tuple[jnp.ndarray, jnp.ndarray, nn.KVCache]:
+    """One generation step with a pre-fused input embedding [1, 1, hidden].
+
+    Returns (normed hidden [1,1,hidden], logits [1, codec_vocab], cache).
+    """
+    positions = pos[None].astype(jnp.int32)
+    h, cache = forward(params, cfg, step_embed, cache, positions, pos)
+    logits = codec_logits(params, h)[:, 0, :]
+    return h, logits, cache

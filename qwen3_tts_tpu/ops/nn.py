@@ -1,0 +1,254 @@
+"""Shared transformer ops for the talker and code-predictor stacks.
+
+TPU-first design notes
+----------------------
+* All layer weights are **stacked along a leading layer axis** and the
+  transformer runs as a single ``lax.scan`` over layers: one compiled layer
+  body instead of 28 unrolled copies. This slashes compile time and lets XLA
+  pipeline HBM weight streaming.
+* KV caches are fixed-shape ``[num_layers, batch, max_seq, kv_heads, head_dim]``
+  arrays updated functionally with ``dynamic_update_slice``; under jit +
+  buffer donation XLA performs the update in place — the TPU equivalent of
+  the reference's CUDA ``copy2d`` InplaceOp2 (src/models/kv_cache.rs:131-226).
+* Attention masks are computed from a traced current-length scalar
+  (``position >= cur_len`` -> masked), so prompt lengths can be bucketed and
+  padded without affecting results and without recompilation per length.
+* Norm/softmax run in float32 and cast back, matching the reference's
+  half-precision policy (candle computes rms_norm/softmax in f32 internally).
+
+Behavioral parity reference: /root/reference/src/models/transformer.rs
+(QK-norm GQA, SwiGLU MLP, pre-norm residual layout) — re-expressed
+functionally for XLA rather than ported.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class LayerStackConfig:
+    """Shape config for a stack of identical decoder layers."""
+
+    hidden_size: int
+    intermediate_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 1e6
+
+
+class KVCache(NamedTuple):
+    """Pre-allocated per-stack KV cache.
+
+    k, v: [num_layers, batch, max_seq, num_kv_heads, head_dim]
+    """
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+
+    @property
+    def max_seq(self) -> int:
+        return self.k.shape[2]
+
+
+def init_kv_cache(
+    cfg: LayerStackConfig, batch: int, max_seq: int, dtype=jnp.bfloat16
+) -> KVCache:
+    shape = (cfg.num_layers, batch, max_seq, cfg.num_kv_heads, cfg.head_dim)
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """RMSNorm with float32 accumulation, cast back to input dtype."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return (normed * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def rope_inv_freq(head_dim: int, theta: float) -> jnp.ndarray:
+    """[head_dim/2] inverse frequencies: theta^(-2i/D), float32."""
+    exponents = jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim
+    return 1.0 / (theta**exponents)
+
+
+def rope_cos_sin(
+    positions: jnp.ndarray, inv_freq: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables [..., head_dim/2] for float32 positions.
+
+    The model's MRoPE section [24, 20, 20] degenerates to standard RoPE for
+    TTS because all three position streams carry the same value
+    (reference: src/models/transformer.rs:154-181), so a single table suffices.
+    """
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq
+    return jnp.cos(freqs), jnp.sin(freqs)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """Split-half rotary embedding on [..., seq, heads, head_dim].
+
+    cos/sin: [seq, head_dim/2] (broadcast over batch and heads).
+    """
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    cos = cos[..., :, None, :].astype(x.dtype)
+    sin = sin[..., :, None, :].astype(x.dtype)
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+
+
+def swiglu(x: jnp.ndarray, gate_w: jnp.ndarray, up_w: jnp.ndarray, down_w: jnp.ndarray) -> jnp.ndarray:
+    """SwiGLU MLP; weights pre-transposed to [in, out]."""
+    gate = jax.nn.silu(x @ gate_w)
+    return (gate * (x @ up_w)) @ down_w
+
+
+def gqa_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: jnp.ndarray | None,
+    scale: float,
+) -> jnp.ndarray:
+    """Grouped-query attention.
+
+    q: [B, Sq, H, D]; k, v: [B, Sk, KV, D]; H = KV * G.
+    mask: broadcastable to [B, 1, 1, Sq, Sk] boolean, True = attend.
+    Returns [B, Sq, H, D]. Softmax in float32.
+    """
+    b, sq, h, d = q.shape
+    kv = k.shape[2]
+    g = h // kv
+    qg = q.reshape(b, sq, kv, g, d)
+    # scores: [B, KV, G, Sq, Sk]
+    scores = jnp.einsum("bqkgd,bskd->bkgqs", qg, k, preferred_element_type=jnp.float32)
+    scores = scores * jnp.float32(scale)
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.float32(-1e30))
+    weights = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bkgqs,bskd->bqkgd", weights, v)
+    return out.reshape(b, sq, h, d)
+
+
+def _attention_block(
+    layer_params: dict,
+    x: jnp.ndarray,
+    cfg: LayerStackConfig,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    cache_k: jnp.ndarray,
+    cache_v: jnp.ndarray,
+    write_pos: jnp.ndarray,
+    mask: jnp.ndarray | None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """QKV projection + QK-norm + RoPE + cache update + GQA attention.
+
+    x: [B, S, hidden]. cache_k/v: [B, max_seq, KV, D]; the S new K/V rows are
+    written at ``write_pos`` and attention runs against the full cache with
+    ``mask`` hiding unwritten positions.
+    """
+    b, s, _ = x.shape
+    q = (x @ layer_params["q_proj"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
+    k = (x @ layer_params["k_proj"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    v = (x @ layer_params["v_proj"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+
+    # Per-head RMSNorm on Q and K (Qwen3 QK-norm).
+    q = rms_norm(q, layer_params["q_norm"], cfg.rms_norm_eps)
+    k = rms_norm(k, layer_params["k_norm"], cfg.rms_norm_eps)
+
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    cache_k = jax.lax.dynamic_update_slice(cache_k, k.astype(cache_k.dtype), (0, write_pos, 0, 0))
+    cache_v = jax.lax.dynamic_update_slice(cache_v, v.astype(cache_v.dtype), (0, write_pos, 0, 0))
+
+    scale = 1.0 / (cfg.head_dim**0.5)
+    attn = gqa_attention(q, cache_k, cache_v, mask, scale)
+    out = attn.reshape(b, s, cfg.num_heads * cfg.head_dim) @ layer_params["o_proj"]
+    return out, cache_k, cache_v
+
+
+def decoder_layer(
+    layer_params: dict,
+    x: jnp.ndarray,
+    cfg: LayerStackConfig,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    cache_k: jnp.ndarray,
+    cache_v: jnp.ndarray,
+    write_pos: jnp.ndarray,
+    mask: jnp.ndarray | None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pre-norm decoder layer: RMSNorm -> attn -> +res -> RMSNorm -> MLP -> +res.
+
+    The reference fuses residual-add + post-norm in a CUDA kernel
+    (src/models/fused_ops.rs); under XLA the identical add+rsqrt+mul chain is
+    fused automatically, so no Pallas kernel is needed here.
+    """
+    attn_out, cache_k, cache_v = _attention_block(
+        layer_params,
+        rms_norm(x, layer_params["input_ln"], cfg.rms_norm_eps),
+        cfg,
+        cos,
+        sin,
+        cache_k,
+        cache_v,
+        write_pos,
+        mask,
+    )
+    h = x + attn_out
+    mlp_out = swiglu(
+        rms_norm(h, layer_params["post_ln"], cfg.rms_norm_eps),
+        layer_params["gate_proj"],
+        layer_params["up_proj"],
+        layer_params["down_proj"],
+    )
+    return h + mlp_out, cache_k, cache_v
+
+
+def run_layer_stack(
+    stacked_params: dict,
+    x: jnp.ndarray,
+    cfg: LayerStackConfig,
+    cache: KVCache,
+    positions: jnp.ndarray,
+    write_pos: jnp.ndarray,
+) -> tuple[jnp.ndarray, KVCache]:
+    """Run all layers via lax.scan against the full pre-allocated cache.
+
+    x: [B, S, hidden] new token embeddings at absolute ``positions`` [S]
+    (int32); their K/V rows are written starting at cache row ``write_pos``.
+    Works for prefill (S = padded prompt length, write_pos = offset) and
+    decode (S = 1) alike.
+
+    Masking invariant: prompts are *right*-padded, so any garbage cache row
+    always sits strictly above every valid query position until the write
+    frontier overwrites it. A pure causal mask ``key_row <= query_position``
+    is therefore exact — no separate valid-length term, and bucketing prompt
+    lengths never changes results.
+    """
+    max_seq = cache.max_seq
+
+    inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_cos_sin(positions.astype(jnp.float32), inv_freq)
+
+    key_pos = jnp.arange(max_seq, dtype=jnp.int32)
+    mask = key_pos[None, :] <= positions[:, None]
+    mask = mask[None, None, None, :, :]  # [B=1, KV=1, G=1, Sq, Sk]
+
+    def body(h, layer_inputs):
+        layer_params, ck, cv = layer_inputs
+        h, ck, cv = decoder_layer(
+            layer_params, h, cfg, cos, sin, ck, cv, write_pos, mask
+        )
+        return h, (ck, cv)
+
+    h, (new_k, new_v) = jax.lax.scan(body, x, (stacked_params, cache.k, cache.v))
+    return h, KVCache(new_k, new_v)
