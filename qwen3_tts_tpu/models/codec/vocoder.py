@@ -1,0 +1,410 @@
+"""Decoder12Hz vocoder: 16-codebook codec frames -> 24 kHz waveform.
+
+Pipeline (parity reference: /root/reference/src/models/codec/decoder_12hz.rs):
+  1. RVQ de-embed: semantic codebook (codes mod 2048) and 15 summed acoustic
+     codebooks, each projected 256 -> 512 by a 1x1 conv, then summed.
+     Codebooks are normalized at load: embedding_sum / clamp(cluster_usage).
+     The mod-2048 runs on device (the reference round-trips through the CPU
+     here, decoder_12hz.rs:424-429 — fixed by design on TPU).
+  2. Causal pre-conv k3 512 -> 1024, input_proj -> 512.
+  3. 8-layer causal pre-transformer (16 heads x 64, layer-scale, RoPE theta
+     1e4, rms eps 1e-5), final norm, output_proj -> 1024.
+  4. 2 upsample stages (TransConv x2 + ConvNeXt) -> init conv k7 -> 1536.
+  5. 4 BigVGAN decoder blocks (rates 8, 5, 4, 3, channels halving).
+  6. Final SnakeBeta + conv k7 -> 1 channel, clamp to [-1, 1].
+
+Total upsampling 2*2*8*5*4*3 = 1920 samples per 80 ms frame. Everything is
+causal, so right-padding the frame axis to a static bucket and trimming
+1920 * T_true samples is bit-exact — that is how both batch decode (one jit
+per bucket) and streaming chunk decode work. Runs in float32, matching the
+reference's dtype policy.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops import nn as tnn
+from . import blocks
+
+
+@dataclass(frozen=True)
+class VocoderConfig:
+    codebook_dim: int = 512
+    latent_dim: int = 1024
+    hidden_size: int = 512
+    num_layers: int = 8
+    num_heads: int = 16
+    head_dim: int = 64
+    intermediate_size: int = 1024
+    num_quantizers: int = 16
+    codebook_size: int = 2048
+    codebook_embed_dim: int = 256
+    upsampling_ratios: tuple[int, ...] = (2, 2)
+    decoder_dim: int = 1536
+    upsample_rates: tuple[int, ...] = (8, 5, 4, 3)
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 1e4
+    final_kernel: int = 7
+
+    @property
+    def total_upsample(self) -> int:
+        total = 1
+        for r in self.upsampling_ratios + self.upsample_rates:
+            total *= r
+        return total
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _pre_transformer(params: dict, cfg: VocoderConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """8 causal attention layers with layer-scale; x: [B, T, hidden]."""
+    b, t, _ = x.shape
+    h_heads, d = cfg.num_heads, cfg.head_dim
+
+    inv_freq = tnn.rope_inv_freq(d, cfg.rope_theta)
+    cos, sin = tnn.rope_cos_sin(jnp.arange(t, dtype=jnp.float32), inv_freq)
+    causal = jnp.tril(jnp.ones((t, t), bool))[None, None, None]
+
+    def layer(h, p):
+        normed = tnn.rms_norm(h, p["input_ln"], cfg.rms_norm_eps)
+        q = (normed @ p["q_proj"]).reshape(b, t, h_heads, d)
+        k = (normed @ p["k_proj"]).reshape(b, t, h_heads, d)
+        v = (normed @ p["v_proj"]).reshape(b, t, h_heads, d)
+        q = tnn.apply_rope(q, cos, sin)
+        k = tnn.apply_rope(k, cos, sin)
+        attn = tnn.gqa_attention(q, k, v, causal, 1.0 / d**0.5)
+        attn = attn.reshape(b, t, h_heads * d) @ p["o_proj"]
+        h = h + attn * p["attn_scale"]
+        normed = tnn.rms_norm(h, p["post_ln"], cfg.rms_norm_eps)
+        mlp = (jax.nn.silu(normed @ p["gate_proj"]) * (normed @ p["up_proj"])) @ p["down_proj"]
+        return h + mlp * p["mlp_scale"], None
+
+    h, _ = jax.lax.scan(layer, x, params["layers"])
+    return h
+
+
+def rvq_deembed(params: dict, cfg: VocoderConfig, codes: jnp.ndarray) -> jnp.ndarray:
+    """Codes [B, 16, T] int32 -> quantized latent [B, T, codebook_dim]."""
+    first = params["first_codebook"][codes[:, 0, :] % cfg.codebook_size]  # [B,T,256]
+    first = first @ params["first_output_proj"]  # [B,T,512]
+
+    # Sum the 15 acoustic codebook lookups: one vmapped gather over the
+    # stacked [15, codebook_size, 256] tables.
+    rest_codes = codes[:, 1:, :]  # [B, 15, T]
+    emb = jax.vmap(lambda tbl, ids: tbl[ids], in_axes=(0, 1), out_axes=1)(
+        params["rest_codebooks"], rest_codes
+    )  # [B, 15, T, 256]
+    rest_proj = emb.sum(axis=1) @ params["rest_output_proj"]  # [B, T, 512]
+    return first + rest_proj
+
+
+def decode(params: dict, cfg: VocoderConfig, codes: jnp.ndarray) -> jnp.ndarray:
+    """Decode codec tokens [B=1, 16, T] -> waveform [B, T * 1920] float32.
+
+    Runs under ``default_matmul_precision("highest")``: the vocoder is the
+    audio-fidelity-critical f32 stage (reference keeps it F32 regardless of
+    device, src/lib.rs:344-345), and TPU would otherwise lower f32 convs to
+    bf16 passes.
+    """
+    with jax.default_matmul_precision("highest"):
+        return _decode_impl(params, cfg, codes)
+
+
+def _decode_impl(params: dict, cfg: VocoderConfig, codes: jnp.ndarray) -> jnp.ndarray:
+    q = rvq_deembed(params, cfg, codes.astype(jnp.int32)).astype(jnp.float32)
+
+    h = blocks.causal_conv1d(q, params["pre_conv_w"], params["pre_conv_b"])  # -> latent_dim
+    h = h @ params["input_proj_w"] + params["input_proj_b"]  # -> hidden
+    h = _pre_transformer(params, cfg, h)
+    h = tnn.rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+    h = h @ params["output_proj_w"] + params["output_proj_b"]  # -> latent_dim
+
+    for stage, ratio in zip(params["upsample"], cfg.upsampling_ratios):
+        h = blocks.upsample_stage(h, stage, ratio)
+
+    h = blocks.causal_conv1d(h, params["init_conv_w"], params["init_conv_b"])
+    for block, rate in zip(params["decoder_blocks"], cfg.upsample_rates):
+        h = blocks.decoder_block(h, block, rate)
+
+    h = blocks.snake_beta(h, params["final_snake_alpha"], params["final_snake_beta"])
+    h = blocks.causal_conv1d(h, params["final_conv_w"], params["final_conv_b"])
+    return jnp.clip(h[..., 0], -1.0, 1.0)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def decode_jit(params: dict, cfg: VocoderConfig, codes: jnp.ndarray) -> jnp.ndarray:
+    return decode(params, cfg, codes)
+
+
+def decode_bucketed(
+    params: dict, cfg: VocoderConfig, codes: np.ndarray, bucket: int = 64
+) -> np.ndarray:
+    """Host wrapper: right-pad the frame axis to a bucket multiple (exact for
+    this all-causal stack), decode under jit, trim to the true sample count."""
+    t = codes.shape[-1]
+    if t == 0:
+        return np.zeros((codes.shape[0], 0), np.float32)
+    padded_t = ((t + bucket - 1) // bucket) * bucket
+    padded = np.zeros((codes.shape[0], codes.shape[1], padded_t), np.int32)
+    padded[..., :t] = codes
+    wav = decode_jit(params, cfg, jnp.asarray(padded))
+    return np.asarray(wav[:, : t * cfg.total_upsample])
+
+
+# ---------------------------------------------------------------------------
+# Parameter loading / init
+# ---------------------------------------------------------------------------
+
+
+def _conv_w(w: jnp.ndarray) -> jnp.ndarray:
+    """HF conv/trans-conv weight [A, B, K] -> [K, B, A] (WIO for causal conv;
+    [K, Cout, Cin] staging orientation for transposed conv)."""
+    return jnp.asarray(w, jnp.float32).transpose(2, 1, 0)
+
+
+def _lin(w: jnp.ndarray) -> jnp.ndarray:
+    return jnp.asarray(w, jnp.float32).T
+
+
+def _normalized_codebook(embedding_sum: jnp.ndarray, cluster_usage: jnp.ndarray):
+    usage = jnp.clip(jnp.asarray(cluster_usage, jnp.float32), 1e-7, None)
+    return jnp.asarray(embedding_sum, jnp.float32) / usage[:, None]
+
+
+def _convnext_params(w: dict, p: str) -> dict:
+    return {
+        "dwconv_w": _conv_w(w[f"{p}.dwconv.conv.weight"]),
+        "dwconv_b": jnp.asarray(w[f"{p}.dwconv.conv.bias"], jnp.float32),
+        "norm_w": jnp.asarray(w[f"{p}.norm.weight"], jnp.float32),
+        "norm_b": jnp.asarray(w[f"{p}.norm.bias"], jnp.float32),
+        "pwconv1_w": _lin(w[f"{p}.pwconv1.weight"]),
+        "pwconv1_b": jnp.asarray(w[f"{p}.pwconv1.bias"], jnp.float32),
+        "pwconv2_w": _lin(w[f"{p}.pwconv2.weight"]),
+        "pwconv2_b": jnp.asarray(w[f"{p}.pwconv2.bias"], jnp.float32),
+        "gamma": jnp.asarray(w[f"{p}.gamma"], jnp.float32),
+    }
+
+
+def _residual_unit_params(w: dict, p: str) -> dict:
+    return {
+        "act1_alpha": jnp.asarray(w[f"{p}.act1.alpha"], jnp.float32),
+        "act1_beta": jnp.asarray(w[f"{p}.act1.beta"], jnp.float32),
+        "conv1_w": _conv_w(w[f"{p}.conv1.conv.weight"]),
+        "conv1_b": jnp.asarray(w[f"{p}.conv1.conv.bias"], jnp.float32),
+        "act2_alpha": jnp.asarray(w[f"{p}.act2.alpha"], jnp.float32),
+        "act2_beta": jnp.asarray(w[f"{p}.act2.beta"], jnp.float32),
+        "conv2_w": _conv_w(w[f"{p}.conv2.conv.weight"]),
+        "conv2_b": jnp.asarray(w[f"{p}.conv2.conv.bias"], jnp.float32),
+    }
+
+
+def load_vocoder_params(w: dict, cfg: VocoderConfig = VocoderConfig()) -> dict:
+    """Build the vocoder pytree from speech-tokenizer safetensors weights.
+
+    Key map matches decoder_12hz.rs:185-402.
+    """
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"decoder.pre_transformer.layers.{i}"
+        layers.append(
+            {
+                "input_ln": jnp.asarray(w[f"{p}.input_layernorm.weight"], jnp.float32),
+                "q_proj": _lin(w[f"{p}.self_attn.q_proj.weight"]),
+                "k_proj": _lin(w[f"{p}.self_attn.k_proj.weight"]),
+                "v_proj": _lin(w[f"{p}.self_attn.v_proj.weight"]),
+                "o_proj": _lin(w[f"{p}.self_attn.o_proj.weight"]),
+                "attn_scale": jnp.asarray(w[f"{p}.self_attn_layer_scale.scale"], jnp.float32),
+                "post_ln": jnp.asarray(w[f"{p}.post_attention_layernorm.weight"], jnp.float32),
+                "gate_proj": _lin(w[f"{p}.mlp.gate_proj.weight"]),
+                "up_proj": _lin(w[f"{p}.mlp.up_proj.weight"]),
+                "down_proj": _lin(w[f"{p}.mlp.down_proj.weight"]),
+                "mlp_scale": jnp.asarray(w[f"{p}.mlp_layer_scale.scale"], jnp.float32),
+            }
+        )
+    stacked_layers = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+    upsample = []
+    for i, _ in enumerate(cfg.upsampling_ratios):
+        p = f"decoder.upsample.{i}"
+        upsample.append(
+            {
+                "up_w": _conv_w(w[f"{p}.0.conv.weight"]),
+                "up_b": jnp.asarray(w[f"{p}.0.conv.bias"], jnp.float32),
+                "convnext": _convnext_params(w, f"{p}.1"),
+            }
+        )
+
+    decoder_blocks = []
+    for i, _ in enumerate(cfg.upsample_rates):
+        bp = f"decoder.decoder.{i + 1}.block"
+        decoder_blocks.append(
+            {
+                "snake_alpha": jnp.asarray(w[f"{bp}.0.alpha"], jnp.float32),
+                "snake_beta": jnp.asarray(w[f"{bp}.0.beta"], jnp.float32),
+                "up_w": _conv_w(w[f"{bp}.1.conv.weight"]),
+                "up_b": jnp.asarray(w[f"{bp}.1.conv.bias"], jnp.float32),
+                "res1": _residual_unit_params(w, f"{bp}.2"),
+                "res2": _residual_unit_params(w, f"{bp}.3"),
+                "res3": _residual_unit_params(w, f"{bp}.4"),
+            }
+        )
+
+    return {
+        "first_codebook": _normalized_codebook(
+            w["decoder.quantizer.rvq_first.vq.layers.0._codebook.embedding_sum"],
+            w["decoder.quantizer.rvq_first.vq.layers.0._codebook.cluster_usage"],
+        ),
+        "rest_codebooks": jnp.stack(
+            [
+                _normalized_codebook(
+                    w[f"decoder.quantizer.rvq_rest.vq.layers.{i}._codebook.embedding_sum"],
+                    w[f"decoder.quantizer.rvq_rest.vq.layers.{i}._codebook.cluster_usage"],
+                )
+                for i in range(cfg.num_quantizers - 1)
+            ]
+        ),
+        # 1x1 conv weights [out, in, 1] -> dense [in, out]
+        "first_output_proj": _lin(
+            jnp.asarray(w["decoder.quantizer.rvq_first.output_proj.weight"])[:, :, 0]
+        ),
+        "rest_output_proj": _lin(
+            jnp.asarray(w["decoder.quantizer.rvq_rest.output_proj.weight"])[:, :, 0]
+        ),
+        "pre_conv_w": _conv_w(w["decoder.pre_conv.conv.weight"]),
+        "pre_conv_b": jnp.asarray(w["decoder.pre_conv.conv.bias"], jnp.float32),
+        "input_proj_w": _lin(w["decoder.pre_transformer.input_proj.weight"]),
+        "input_proj_b": jnp.asarray(w["decoder.pre_transformer.input_proj.bias"], jnp.float32),
+        "layers": stacked_layers,
+        "final_norm": jnp.asarray(w["decoder.pre_transformer.norm.weight"], jnp.float32),
+        "output_proj_w": _lin(w["decoder.pre_transformer.output_proj.weight"]),
+        "output_proj_b": jnp.asarray(w["decoder.pre_transformer.output_proj.bias"], jnp.float32),
+        "upsample": upsample,
+        "init_conv_w": _conv_w(w["decoder.decoder.0.conv.weight"]),
+        "init_conv_b": jnp.asarray(w["decoder.decoder.0.conv.bias"], jnp.float32),
+        "decoder_blocks": decoder_blocks,
+        "final_snake_alpha": jnp.asarray(w["decoder.decoder.5.alpha"], jnp.float32),
+        "final_snake_beta": jnp.asarray(w["decoder.decoder.5.beta"], jnp.float32),
+        "final_conv_w": _conv_w(w["decoder.decoder.6.conv.weight"]),
+        "final_conv_b": jnp.asarray(w["decoder.decoder.6.conv.bias"], jnp.float32),
+    }
+
+
+def init_vocoder_params(key, cfg: VocoderConfig = VocoderConfig()) -> dict:
+    """Random-init vocoder pytree (tests / synthetic benchmarking)."""
+
+    def rnd(k, shape, scale=0.02):
+        return jax.random.normal(k, shape, jnp.float32) * scale
+
+    keys = iter(jax.random.split(key, 256))
+
+    def conv(cin, cout, k):
+        return rnd(next(keys), (k, cin, cout)), jnp.zeros((cout,), jnp.float32)
+
+    def tconv(cin, cout, k):
+        return rnd(next(keys), (k, cout, cin)), jnp.zeros((cout,), jnp.float32)
+
+    def convnext(dim):
+        return {
+            "dwconv_w": rnd(next(keys), (7, 1, dim)),
+            "dwconv_b": jnp.zeros((dim,), jnp.float32),
+            "norm_w": jnp.ones((dim,), jnp.float32),
+            "norm_b": jnp.zeros((dim,), jnp.float32),
+            "pwconv1_w": rnd(next(keys), (dim, 4 * dim)),
+            "pwconv1_b": jnp.zeros((4 * dim,), jnp.float32),
+            "pwconv2_w": rnd(next(keys), (4 * dim, dim)),
+            "pwconv2_b": jnp.zeros((dim,), jnp.float32),
+            "gamma": jnp.ones((dim,), jnp.float32),
+        }
+
+    def res_unit(dim):
+        c1w, c1b = conv(dim, dim, 7)
+        c2w, c2b = conv(dim, dim, 1)
+        return {
+            "act1_alpha": jnp.zeros((dim,), jnp.float32),
+            "act1_beta": jnp.zeros((dim,), jnp.float32),
+            "conv1_w": c1w,
+            "conv1_b": c1b,
+            "act2_alpha": jnp.zeros((dim,), jnp.float32),
+            "act2_beta": jnp.zeros((dim,), jnp.float32),
+            "conv2_w": c2w,
+            "conv2_b": c2b,
+        }
+
+    hd = cfg.num_heads * cfg.head_dim
+    layers = [
+        {
+            "input_ln": jnp.ones((cfg.hidden_size,), jnp.float32),
+            "q_proj": rnd(next(keys), (cfg.hidden_size, hd)),
+            "k_proj": rnd(next(keys), (cfg.hidden_size, hd)),
+            "v_proj": rnd(next(keys), (cfg.hidden_size, hd)),
+            "o_proj": rnd(next(keys), (hd, cfg.hidden_size)),
+            "attn_scale": jnp.full((cfg.hidden_size,), 0.01, jnp.float32),
+            "post_ln": jnp.ones((cfg.hidden_size,), jnp.float32),
+            "gate_proj": rnd(next(keys), (cfg.hidden_size, cfg.intermediate_size)),
+            "up_proj": rnd(next(keys), (cfg.hidden_size, cfg.intermediate_size)),
+            "down_proj": rnd(next(keys), (cfg.intermediate_size, cfg.hidden_size)),
+            "mlp_scale": jnp.full((cfg.hidden_size,), 0.01, jnp.float32),
+        }
+        for _ in range(cfg.num_layers)
+    ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+    pre_w, pre_b = conv(cfg.codebook_dim, cfg.latent_dim, 3)
+    init_w, init_b = conv(cfg.latent_dim, cfg.decoder_dim, 7)
+
+    upsample = []
+    for r in cfg.upsampling_ratios:
+        uw, ub = tconv(cfg.latent_dim, cfg.latent_dim, 2 * r)
+        upsample.append({"up_w": uw, "up_b": ub, "convnext": convnext(cfg.latent_dim)})
+
+    decoder_blocks = []
+    ch = cfg.decoder_dim
+    for r in cfg.upsample_rates:
+        out_ch = ch // 2
+        uw, ub = tconv(ch, out_ch, 2 * r)
+        decoder_blocks.append(
+            {
+                "snake_alpha": jnp.zeros((ch,), jnp.float32),
+                "snake_beta": jnp.zeros((ch,), jnp.float32),
+                "up_w": uw,
+                "up_b": ub,
+                "res1": res_unit(out_ch),
+                "res2": res_unit(out_ch),
+                "res3": res_unit(out_ch),
+            }
+        )
+        ch = out_ch
+
+    fw, fb = conv(ch, 1, cfg.final_kernel)
+    ed = cfg.codebook_embed_dim
+    return {
+        "first_codebook": rnd(next(keys), (cfg.codebook_size, ed), 1.0),
+        "rest_codebooks": rnd(next(keys), (cfg.num_quantizers - 1, cfg.codebook_size, ed), 1.0),
+        "first_output_proj": rnd(next(keys), (ed, cfg.codebook_dim)),
+        "rest_output_proj": rnd(next(keys), (ed, cfg.codebook_dim)),
+        "pre_conv_w": pre_w,
+        "pre_conv_b": pre_b,
+        "input_proj_w": rnd(next(keys), (cfg.latent_dim, cfg.hidden_size)),
+        "input_proj_b": jnp.zeros((cfg.hidden_size,), jnp.float32),
+        "layers": stacked,
+        "final_norm": jnp.ones((cfg.hidden_size,), jnp.float32),
+        "output_proj_w": rnd(next(keys), (cfg.hidden_size, cfg.latent_dim)),
+        "output_proj_b": jnp.zeros((cfg.latent_dim,), jnp.float32),
+        "upsample": upsample,
+        "init_conv_w": init_w,
+        "init_conv_b": init_b,
+        "decoder_blocks": decoder_blocks,
+        "final_snake_alpha": jnp.zeros((ch,), jnp.float32),
+        "final_snake_beta": jnp.zeros((ch,), jnp.float32),
+        "final_conv_w": fw,
+        "final_conv_b": fb,
+    }

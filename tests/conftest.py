@@ -1,19 +1,24 @@
 """Test harness configuration.
 
-Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths can be
-exercised without TPU hardware. Environment must be set before jax imports.
+Tests run on a virtual 8-device CPU mesh so numeric-tolerance checks are
+exact-f32 and multi-chip sharding paths can be exercised without TPU
+hardware. The environment's sitecustomize pins JAX_PLATFORMS to the TPU
+plugin, so we override via jax.config before any backend initializes.
 """
 
 import os
+import sys
+from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
-import sys
-from pathlib import Path
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))

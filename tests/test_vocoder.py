@@ -1,0 +1,134 @@
+"""Vocoder tests: conv oracles vs torch, causality/bucketing exactness."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3_tts_tpu.models.codec import blocks, vocoder
+
+torch = pytest.importorskip("torch")
+
+
+def test_causal_conv_matches_torch():
+    rs = np.random.RandomState(0)
+    for cin, cout, k, dil in [(4, 8, 3, 1), (8, 8, 7, 3), (6, 2, 1, 1)]:
+        x = rs.randn(1, 10, cin).astype(np.float32)
+        w = rs.randn(cout, cin, k).astype(np.float32)
+        b = rs.randn(cout).astype(np.float32)
+
+        conv = torch.nn.Conv1d(cin, cout, k, dilation=dil, padding=0)
+        conv.weight.data = torch.from_numpy(w)
+        conv.bias.data = torch.from_numpy(b)
+        xt = torch.from_numpy(x.transpose(0, 2, 1))
+        pad = dil * (k - 1)
+        want = conv(torch.nn.functional.pad(xt, (pad, 0))).detach().numpy()
+
+        got = blocks.causal_conv1d(
+            jnp.asarray(x), jnp.asarray(w.transpose(2, 1, 0)), jnp.asarray(b), dilation=dil
+        )
+        np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), want, atol=1e-5)
+
+
+def test_depthwise_causal_conv_matches_torch():
+    rs = np.random.RandomState(1)
+    dim, k = 6, 7
+    x = rs.randn(1, 12, dim).astype(np.float32)
+    w = rs.randn(dim, 1, k).astype(np.float32)
+    b = rs.randn(dim).astype(np.float32)
+
+    conv = torch.nn.Conv1d(dim, dim, k, groups=dim, padding=0)
+    conv.weight.data = torch.from_numpy(w)
+    conv.bias.data = torch.from_numpy(b)
+    xt = torch.from_numpy(x.transpose(0, 2, 1))
+    want = conv(torch.nn.functional.pad(xt, (k - 1, 0))).detach().numpy()
+
+    got = blocks.causal_conv1d(
+        jnp.asarray(x), jnp.asarray(w.transpose(2, 1, 0)), jnp.asarray(b), groups=dim
+    )
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), want, atol=1e-5)
+
+
+def test_causal_trans_conv_matches_torch():
+    rs = np.random.RandomState(2)
+    for cin, cout, stride in [(4, 8, 2), (8, 4, 5), (6, 6, 8)]:
+        k = 2 * stride
+        x = rs.randn(1, 7, cin).astype(np.float32)
+        w = rs.randn(cin, cout, k).astype(np.float32)
+        b = rs.randn(cout).astype(np.float32)
+
+        conv = torch.nn.ConvTranspose1d(cin, cout, k, stride=stride, padding=0)
+        conv.weight.data = torch.from_numpy(w)
+        conv.bias.data = torch.from_numpy(b)
+        xt = torch.from_numpy(x.transpose(0, 2, 1))
+        full = conv(xt).detach().numpy()
+        # reference trims kernel - stride from the right (causal_trans_conv.rs)
+        want = full[..., : 7 * stride]
+
+        got = blocks.causal_trans_conv1d(
+            jnp.asarray(x), jnp.asarray(w.transpose(2, 1, 0)), jnp.asarray(b), stride
+        )
+        np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), want, atol=1e-5)
+
+
+def test_snake_beta_formula():
+    x = jnp.array([[[0.5, -1.0], [2.0, 0.0]]])
+    alpha = jnp.array([0.1, -0.2])
+    beta = jnp.array([0.3, 0.0])
+    got = np.asarray(blocks.snake_beta(x, alpha, beta))
+    xn = np.asarray(x)
+    a, b = np.exp([0.1, -0.2]), np.exp([0.3, 0.0])
+    want = xn + np.sin(xn * a) ** 2 / (b + 1e-9)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+SMALL = vocoder.VocoderConfig(
+    codebook_dim=16,
+    latent_dim=24,
+    hidden_size=16,
+    num_layers=2,
+    num_heads=2,
+    head_dim=8,
+    intermediate_size=32,
+    codebook_size=32,
+    codebook_embed_dim=8,
+    decoder_dim=32,
+)
+
+
+def test_vocoder_shapes_and_upsample():
+    params = vocoder.init_vocoder_params(jax.random.PRNGKey(0), SMALL)
+    t = 3
+    codes = np.random.RandomState(3).randint(0, 32, size=(1, 16, t)).astype(np.int32)
+    wav = vocoder.decode(params, SMALL, jnp.asarray(codes))
+    assert wav.shape == (1, t * SMALL.total_upsample)
+    assert SMALL.total_upsample == 1920
+    w = np.asarray(wav)
+    assert np.isfinite(w).all() and (np.abs(w) <= 1.0).all()
+
+
+def test_semantic_codes_mod_codebook():
+    """Semantic codes >= codebook_size must wrap (mod), like the reference."""
+    params = vocoder.init_vocoder_params(jax.random.PRNGKey(0), SMALL)
+    codes_a = np.zeros((1, 16, 2), np.int32)
+    codes_a[0, 0] = [5, 9]
+    codes_b = codes_a.copy()
+    codes_b[0, 0] = [5 + 32, 9 + 64]  # same after mod codebook_size=32
+    w_a = np.asarray(vocoder.decode(params, SMALL, jnp.asarray(codes_a)))
+    w_b = np.asarray(vocoder.decode(params, SMALL, jnp.asarray(codes_b)))
+    np.testing.assert_array_equal(w_a, w_b)
+
+
+def test_bucketed_decode_is_exact():
+    """Right-padding the frame axis must not change the decoded prefix."""
+    params = vocoder.init_vocoder_params(jax.random.PRNGKey(1), SMALL)
+    t = 5
+    codes = np.random.RandomState(4).randint(0, 32, size=(1, 16, t)).astype(np.int32)
+    w_direct = np.asarray(vocoder.decode(params, SMALL, jnp.asarray(codes)))
+    w_b8 = vocoder.decode_bucketed(params, SMALL, codes, bucket=8)
+    w_b16 = vocoder.decode_bucketed(params, SMALL, codes, bucket=16)
+    np.testing.assert_allclose(w_b8, w_direct, atol=1e-6)
+    # Different bucket sizes compile different programs; fusion may differ in
+    # the last ulp, so equality here is allclose not bitwise. (Same-program
+    # padding is bit-exact: padded-vs-direct under one program diffs 0.0.)
+    np.testing.assert_allclose(w_b8, w_b16, atol=1e-6)
