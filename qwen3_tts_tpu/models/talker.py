@@ -152,6 +152,41 @@ def build_trailing_text(
     return out
 
 
+def build_icl_rows(
+    params: dict,
+    all_text_ids: jnp.ndarray,  # [Tb] ref_text + target_text + tts_eos, padded
+    n_text: jnp.ndarray,  # [] int32 true text length (incl. tts_eos)
+    codec_rows: jnp.ndarray,  # [Cb, hidden] codec_bos + summed ref codec embeds
+    n_codec: jnp.ndarray,  # [] int32 true codec row count
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """ICL prompt rows (streaming element-wise overlay, talker.rs:690-709).
+
+    The ICL block has exactly ``n_codec`` rows: row i = codec_rows[i] +
+    (text_emb[i] if i < n_text else tts_pad). Text tokens beyond n_codec
+    become per-frame trailing context. Returns (icl_rows [1, Cb, hidden]
+    right-padded, trailing [Tb, hidden], trailing_len []).
+    """
+    tb = all_text_ids.shape[0]
+    cb = codec_rows.shape[0]
+    text_emb = embed_text(params, all_text_ids)  # [Tb, hidden]
+    pad = embed_text(params, jnp.array([T.TTS_PAD], dtype=jnp.int32))[0]
+
+    ci = jnp.arange(cb)[:, None]
+    text_part = jnp.where(
+        ci < jnp.minimum(n_text, tb),
+        text_emb[jnp.minimum(jnp.arange(cb), tb - 1)],
+        pad,
+    )
+    icl_rows = (codec_rows + text_part)[None]
+
+    # trailing[i] = text_emb[n_codec + i] for i < n_text - n_codec, else pad
+    ti = jnp.arange(tb)[:, None]
+    src = jnp.clip(jnp.arange(tb) + n_codec, 0, tb - 1)
+    trailing = jnp.where(ti < n_text - n_codec, text_emb[src], pad)
+    trailing_len = jnp.maximum(n_text - n_codec, 0)
+    return icl_rows, trailing, trailing_len
+
+
 def tts_pad_embed(params: dict) -> jnp.ndarray:
     """[1, hidden] projected tts_pad embedding (post-trailing filler)."""
     return embed_text(params, jnp.array([T.TTS_PAD], dtype=jnp.int32))

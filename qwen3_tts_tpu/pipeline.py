@@ -1,0 +1,656 @@
+"""Qwen3TTS facade: load -> prefill -> jitted generation -> vocoder decode.
+
+The public surface mirrors the reference's ``Qwen3TTS`` (src/lib.rs:154-1411):
+``from_pretrained`` with variant auto-detection, ``synthesize``/
+``synthesize_with_voice``/``synthesize_voice_design``/``synthesize_voice_clone``,
+``create_voice_clone_prompt``, ``synthesize_streaming`` (StreamingSession),
+``SynthesisOptions`` and ``SynthesisTiming`` — re-architected around three
+jitted XLA programs:
+
+  1. prefill + first-token sampling (per prompt-length bucket),
+  2. the while_loop frame generator (per max-frames bucket) — zero host syncs,
+  3. the vocoder decode (per frame-count bucket).
+
+Prompt lengths, text lengths, and frame budgets are bucketed so steady-state
+synthesis never recompiles; padding is exact by construction (causal masks /
+causal convs).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, replace
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .audio.io import AudioBuffer
+from .audio.resample import resample_to_24k
+from .generation import core
+from .models import code_predictor as cp_model
+from .models import talker as talker_model
+from .models import tokens as T
+from .models import weights as W
+from .models.codec import vocoder
+from .models.config import (
+    CodePredictorConfig,
+    ModelConfig,
+    ModelType,
+    TalkerConfig,
+    config_for_variant,
+    parse_config_json,
+)
+from .ops import nn, rng, sampling
+from .tokenizer import TextTokenizer
+from .utils.bucketing import next_bucket
+
+FRAME_BUCKETS = (64, 128, 256, 512, 1024, 2048)
+TEXT_BUCKET = 32
+DECODE_BUCKET = 64
+
+
+@dataclass(frozen=True)
+class SynthesisOptions:
+    """Generation options; defaults match the reference (src/lib.rs:1822-1836)."""
+
+    max_length: int = 2048
+    temperature: float = 0.9
+    top_k: int = 50
+    top_p: float = 0.9
+    repetition_penalty: float = 1.05
+    eos_token_id: int = T.CODEC_EOS
+    chunk_frames: int = 10
+    min_new_tokens: int = 2
+    seed: int | None = None
+
+    def sampling_config(self) -> sampling.SamplingConfig:
+        return sampling.SamplingConfig(
+            temperature=self.temperature,
+            top_k=self.top_k,
+            top_p=self.top_p,
+            repetition_penalty=self.repetition_penalty,
+            eos_token_id=self.eos_token_id,
+            min_new_tokens=self.min_new_tokens,
+        )
+
+
+@dataclass
+class SynthesisTiming:
+    prefill_ms: float = 0.0
+    generation_ms: float = 0.0
+    generation_frames: int = 0
+    decode_ms: float = 0.0
+
+
+@dataclass
+class VoiceClonePrompt:
+    """Reference-audio conditioning (x-vector, plus ICL codes/text if given)."""
+
+    speaker_embedding: np.ndarray  # [enc_dim] float32
+    ref_codes: np.ndarray | None = None  # [T, 16] int32 (ICL mode)
+    ref_text_ids: list[int] | None = None  # tokenized reference text (ICL mode)
+
+
+# ICL-mode generation overrides (src/lib.rs:1472-1478).
+ICL_MIN_FRAMES = 75
+ICL_FRAMES_PER_TOKEN = 6
+ICL_MIN_REPETITION_PENALTY = 1.5
+
+
+class Qwen3TTS:
+    """End-to-end TTS pipeline on TPU."""
+
+    def __init__(
+        self,
+        config: ModelConfig,
+        talker_params: dict,
+        cp_params: dict,
+        vocoder_params: dict,
+        tokenizer: TextTokenizer | None,
+        speaker_encoder=None,
+        speech_encoder=None,
+        vocoder_config: vocoder.VocoderConfig = vocoder.VocoderConfig(),
+    ):
+        self.config = config
+        self.talker_params = talker_params
+        self.cp_params = cp_params
+        self.vocoder_params = vocoder_params
+        self.vocoder_config = vocoder_config
+        self.tokenizer = tokenizer
+        self.speaker_encoder = speaker_encoder
+        self.speech_encoder = speech_encoder
+
+    # ------------------------------------------------------------------
+    # Loading
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_pretrained(
+        cls, model_dir: str | Path, tokenizer_id: str | None = None
+    ) -> "Qwen3TTS":
+        """Load from a local HF checkpoint directory (config.json +
+        model.safetensors + speech_tokenizer/model.safetensors)."""
+        model_dir = Path(model_dir)
+        config_path = model_dir / "config.json"
+        raw = W.load_safetensors(model_dir / "model.safetensors")
+
+        if config_path.exists():
+            config = parse_config_json(config_path)
+        else:
+            # Weight-shape sniffing fallback (src/lib.rs:371-381)
+            hidden = raw["talker.model.norm.weight"].shape[0]
+            config = config_for_variant("1.7B" if hidden == 2048 else "0.6B", "base")
+
+        st_path = model_dir / "speech_tokenizer" / "model.safetensors"
+        if not st_path.exists():
+            alt = model_dir.parent / "speech_tokenizer" / "model.safetensors"
+            if not alt.exists():
+                raise FileNotFoundError("Speech tokenizer weights not found")
+            st_path = alt
+        st_raw = W.load_safetensors(st_path)
+
+        tokenizer = TextTokenizer.from_pretrained(tokenizer_id or model_dir)
+
+        talker_params = W.load_talker_params(raw, config.talker)
+        cp_params = W.load_code_predictor_params(raw, config.code_predictor)
+        vocoder_params = vocoder.load_vocoder_params(st_raw)
+
+        speaker_encoder = None
+        if any(k.startswith("speaker_encoder.") for k in raw):
+            from .models.speaker import SpeakerEncoder
+
+            speaker_encoder = SpeakerEncoder.from_weights(
+                raw, config.speaker_encoder
+            )
+
+        speech_encoder = None
+        if any(k.startswith("encoder.") for k in st_raw):
+            try:
+                from .models.codec.encoder import Encoder12Hz
+
+                speech_encoder = Encoder12Hz.from_weights(st_raw)
+            except Exception:  # noqa: BLE001 — ICL optional, mirrors reference
+                speech_encoder = None
+
+        return cls(
+            config,
+            talker_params,
+            cp_params,
+            vocoder_params,
+            tokenizer,
+            speaker_encoder,
+            speech_encoder,
+        )
+
+    @classmethod
+    def from_random(
+        cls, config: ModelConfig, seed: int = 0, tokenizer: TextTokenizer | None = None
+    ) -> "Qwen3TTS":
+        """Synthetic weights at real dimensions — benchmarking and tests."""
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+        return cls(
+            config,
+            W.init_talker_params(k1, config.talker),
+            W.init_code_predictor_params(k2, config.code_predictor),
+            vocoder.init_vocoder_params(k3),
+            tokenizer,
+        )
+
+    # -- capability probes (mirror src/lib.rs:384-411) --
+
+    @property
+    def model_type(self) -> ModelType:
+        return self.config.model_type
+
+    def supports_voice_cloning(self) -> bool:
+        return self.speaker_encoder is not None
+
+    def supports_preset_speakers(self) -> bool:
+        return self.config.model_type == ModelType.CUSTOM_VOICE
+
+    def supports_voice_design(self) -> bool:
+        return self.config.model_type == ModelType.VOICE_DESIGN
+
+    def has_speech_encoder(self) -> bool:
+        return self.speech_encoder is not None
+
+    # ------------------------------------------------------------------
+    # Internal helpers
+    # ------------------------------------------------------------------
+
+    def _encode_text(self, text: str) -> list[int]:
+        if self.tokenizer is None:
+            raise RuntimeError("No tokenizer loaded")
+        return self.tokenizer.encode(text)
+
+    def _pad_ids(self, ids: list[int]) -> tuple[jnp.ndarray, int]:
+        bucket = next_bucket(max(len(ids), 1), TEXT_BUCKET)
+        arr = np.zeros(bucket, np.int32)
+        arr[: len(ids)] = ids
+        return jnp.asarray(arr), len(ids)
+
+    def _uniforms(self, seed: int | None, n: int) -> jnp.ndarray:
+        seq = (
+            rng.pcg_uniform_sequence(seed, n + 1)
+            if seed is not None
+            else rng.unseeded_uniform_sequence(n + 1)
+        )
+        return jnp.asarray(seq)
+
+    def _new_cache(self, prefill_bucket: int, max_new_bucket: int) -> nn.KVCache:
+        return nn.init_kv_cache(
+            self.config.talker.layer_stack(),
+            batch=1,
+            max_seq=prefill_bucket + max_new_bucket + 8,
+            dtype=self.talker_params["codec_head"].dtype,
+        )
+
+    def _start_session(
+        self,
+        prompt: jnp.ndarray,
+        prefill_len: int,
+        options: SynthesisOptions,
+        trailing: jnp.ndarray,
+        trailing_len,
+    ) -> "StreamingSession":
+        max_new_bucket = next_bucket(options.max_length, buckets=FRAME_BUCKETS)
+        cache = self._new_cache(prompt.shape[1], max_new_bucket)
+        uniforms = self._uniforms(options.seed, max_new_bucket)
+        scfg = options.sampling_config()
+        state = core.prefill_and_start(
+            self.talker_params,
+            self.config.talker,
+            scfg,
+            prompt,
+            jnp.int32(prefill_len),
+            cache,
+            uniforms,
+            max_new_bucket,
+        )
+        pad = talker_model.tts_pad_embed(self.talker_params)[0]
+        return StreamingSession(
+            self,
+            state=state,
+            scfg=scfg,
+            options=options,
+            trailing=trailing,
+            trailing_len=jnp.int32(trailing_len),
+            pad_embed=pad,
+            uniforms=uniforms,
+        )
+
+    def _custom_voice_session(
+        self, text: str, speaker: str, language: str, options: SynthesisOptions
+    ) -> "StreamingSession":
+        ids = self._encode_text(text)
+        text_ids, text_len = self._pad_ids(ids)
+        prompt = talker_model.build_custom_voice_prompt(
+            self.talker_params,
+            text_ids[0],
+            T.speaker_info(speaker).token_id,
+            T.language_token_id(language),
+        )
+        trailing = talker_model.build_trailing_text(
+            self.talker_params, text_ids, jnp.int32(text_len)
+        )
+        return self._start_session(prompt, prompt.shape[1], options, trailing, text_len)
+
+    def _voice_design_session(
+        self, text: str, instruct: str, language: str, options: SynthesisOptions
+    ) -> "StreamingSession":
+        ids = self._encode_text(text)
+        text_ids, text_len = self._pad_ids(ids)
+        # ChatML user framing for the instruct (src/lib.rs:826-828)
+        instruct_ids = self._encode_text(f"<|im_start|>user\n{instruct}<|im_end|>\n")
+
+        suffix = talker_model.build_voice_design_suffix(
+            self.talker_params, text_ids[0], T.language_token_id(language)
+        )  # [9, hidden]
+        instruct_emb = talker_model.embed_text(
+            self.talker_params, jnp.asarray(np.asarray(instruct_ids, np.int32))
+        )  # [N, hidden]
+        rows = jnp.concatenate([instruct_emb, suffix], axis=0)
+        prefill_len = rows.shape[0]
+        bucket = next_bucket(prefill_len, TEXT_BUCKET)
+        prompt = jnp.zeros((1, bucket, rows.shape[-1]), rows.dtype)
+        prompt = prompt.at[0, :prefill_len].set(rows)
+        trailing = talker_model.build_trailing_text(
+            self.talker_params, text_ids, jnp.int32(text_len)
+        )
+        return self._start_session(prompt, prefill_len, options, trailing, text_len)
+
+    def _voice_clone_session(
+        self,
+        text: str,
+        prompt_data: VoiceClonePrompt,
+        language: str,
+        options: SynthesisOptions,
+    ) -> tuple["StreamingSession", int]:
+        """Returns (session, ref_frame_count). ICL overrides applied here
+        (src/lib.rs:912-929)."""
+        ids = self._encode_text(text)
+        is_icl = prompt_data.ref_codes is not None and prompt_data.ref_text_ids is not None
+
+        if is_icl:
+            options = replace(
+                options,
+                repetition_penalty=max(
+                    options.repetition_penalty, ICL_MIN_REPETITION_PENALTY
+                ),
+                max_length=min(
+                    options.max_length,
+                    max(ICL_MIN_FRAMES, len(ids) * ICL_FRAMES_PER_TOKEN),
+                ),
+            )
+
+        compute_dtype = self.talker_params["codec_head"].dtype
+        speaker_vec = jnp.asarray(prompt_data.speaker_embedding, compute_dtype)
+
+        text_ids, text_len = self._pad_ids(ids)
+        prompt = talker_model.build_voice_clone_prompt(
+            self.talker_params,
+            text_ids[0],
+            speaker_vec,
+            T.language_token_id(language),
+            icl_mode=is_icl,
+        )
+        base_len = prompt.shape[1]  # 9 (ICL) or 10
+
+        if not is_icl:
+            trailing = talker_model.build_trailing_text(
+                self.talker_params, text_ids, jnp.int32(text_len)
+            )
+            return (
+                self._start_session(prompt, base_len, options, trailing, text_len),
+                0,
+            )
+
+        # --- ICL extension: prompt = [voice_clone(9) || icl rows] ---
+        ref_codes = np.asarray(prompt_data.ref_codes, np.int32)  # [Tr, 16]
+        t_ref = ref_codes.shape[0]
+        all_text = list(prompt_data.ref_text_ids) + list(ids) + [T.TTS_EOS]
+        tb = next_bucket(len(all_text), TEXT_BUCKET)
+        all_text_arr = np.zeros(tb, np.int32)
+        all_text_arr[: len(all_text)] = all_text
+
+        codec_rows = self._sum_ref_codec_embeddings(ref_codes)  # [Tr, hidden]
+        bos = talker_model.embed_codec(
+            self.talker_params, jnp.array([T.CODEC_BOS], jnp.int32)
+        )
+        cb = next_bucket(t_ref + 1, TEXT_BUCKET)
+        codec_padded = jnp.zeros((cb, codec_rows.shape[-1]), codec_rows.dtype)
+        codec_padded = codec_padded.at[:1].set(bos)
+        codec_padded = codec_padded.at[1 : t_ref + 1].set(codec_rows)
+        n_codec = t_ref + 1
+
+        icl_rows, trailing, trailing_len = talker_model.build_icl_rows(
+            self.talker_params,
+            jnp.asarray(all_text_arr),
+            jnp.int32(len(all_text)),
+            codec_padded,
+            jnp.int32(n_codec),
+        )
+        full = jnp.concatenate([prompt, icl_rows], axis=1)
+        prefill_len = base_len + n_codec
+        session = self._start_session(full, prefill_len, options, trailing, trailing_len)
+        return session, t_ref
+
+    def _sum_ref_codec_embeddings(self, ref_codes: np.ndarray) -> jnp.ndarray:
+        """[T, 16] codes -> [T, hidden]: talker codec embedding of group 0 +
+        the 15 CP group embeddings (src/lib.rs:1239-1257)."""
+        codes = jnp.asarray(ref_codes, jnp.int32)
+        semantic = talker_model.embed_codec(self.talker_params, codes[:, 0])
+        tables = self.cp_params["codec_embeddings"]  # [15, V, dim]
+        acoustic = jax.vmap(lambda tbl, ids: tbl[ids], in_axes=(0, 1), out_axes=0)(
+            tables, codes[:, 1:]
+        ).sum(axis=0)
+        return semantic + acoustic
+
+    # ------------------------------------------------------------------
+    # Public synthesis API
+    # ------------------------------------------------------------------
+
+    def synthesize(self, text: str, options: SynthesisOptions | None = None) -> AudioBuffer:
+        return self.synthesize_with_voice(text, "ryan", "english", options)
+
+    def synthesize_with_voice(
+        self,
+        text: str,
+        speaker: str = "ryan",
+        language: str = "english",
+        options: SynthesisOptions | None = None,
+    ) -> AudioBuffer:
+        audio, _ = self.synthesize_with_timing(text, speaker, language, options)
+        return audio
+
+    def synthesize_with_timing(
+        self,
+        text: str,
+        speaker: str = "ryan",
+        language: str = "english",
+        options: SynthesisOptions | None = None,
+    ) -> tuple[AudioBuffer, SynthesisTiming]:
+        options = options or SynthesisOptions()
+        t0 = time.perf_counter()
+        session = self._custom_voice_session(text, speaker, language, options)
+        jax.block_until_ready(session.state.token)
+        t1 = time.perf_counter()
+
+        frames = session.run_to_completion()
+        t2 = time.perf_counter()
+
+        audio = self.decode_codes(frames)
+        t3 = time.perf_counter()
+        timing = SynthesisTiming(
+            prefill_ms=(t1 - t0) * 1e3,
+            generation_ms=(t2 - t1) * 1e3,
+            generation_frames=len(frames),
+            decode_ms=(t3 - t2) * 1e3,
+        )
+        return audio, timing
+
+    def synthesize_voice_design(
+        self,
+        text: str,
+        instruct: str,
+        language: str = "english",
+        options: SynthesisOptions | None = None,
+    ) -> AudioBuffer:
+        options = options or SynthesisOptions()
+        session = self._voice_design_session(text, instruct, language, options)
+        return self.decode_codes(session.run_to_completion())
+
+    def synthesize_voice_design_streaming(
+        self,
+        text: str,
+        instruct: str,
+        language: str = "english",
+        options: SynthesisOptions | None = None,
+    ) -> "StreamingSession":
+        options = options or SynthesisOptions()
+        return self._voice_design_session(text, instruct, language, options)
+
+    def synthesize_streaming(
+        self,
+        text: str,
+        speaker: str = "ryan",
+        language: str = "english",
+        options: SynthesisOptions | None = None,
+    ) -> "StreamingSession":
+        options = options or SynthesisOptions()
+        return self._custom_voice_session(text, speaker, language, options)
+
+    def create_voice_clone_prompt(
+        self, ref_audio: AudioBuffer, ref_text: str | None = None
+    ) -> VoiceClonePrompt:
+        if self.speaker_encoder is None:
+            hint = {
+                ModelType.CUSTOM_VOICE: " CustomVoice models use preset speakers; use a Base model for cloning.",
+                ModelType.VOICE_DESIGN: " VoiceDesign models use text-described voices; use a Base model for cloning.",
+            }.get(self.config.model_type, " Only Base checkpoints include a speaker encoder.")
+            raise RuntimeError("Speaker encoder not available." + hint)
+
+        if ref_audio.sample_rate != T.OUTPUT_SAMPLE_RATE:
+            ref_audio = resample_to_24k(ref_audio)
+
+        speaker_embedding = self.speaker_encoder.encode(ref_audio.samples)
+
+        ref_codes = None
+        ref_text_ids = None
+        if ref_text is not None:
+            if self.speech_encoder is None:
+                raise RuntimeError(
+                    "ICL voice cloning requires the speech encoder; pass "
+                    "ref_text=None for x-vector-only cloning."
+                )
+            ref_codes = self.speech_encoder.encode(ref_audio.samples)
+            ref_text_ids = self._encode_text(ref_text)
+
+        return VoiceClonePrompt(np.asarray(speaker_embedding), ref_codes, ref_text_ids)
+
+    def synthesize_voice_clone(
+        self,
+        text: str,
+        prompt: VoiceClonePrompt,
+        language: str = "english",
+        options: SynthesisOptions | None = None,
+    ) -> AudioBuffer:
+        audio, _ = self.synthesize_voice_clone_debug(text, prompt, language, options)
+        return audio
+
+    def synthesize_voice_clone_debug(
+        self,
+        text: str,
+        prompt: VoiceClonePrompt,
+        language: str = "english",
+        options: SynthesisOptions | None = None,
+    ) -> tuple[AudioBuffer, np.ndarray]:
+        options = options or SynthesisOptions()
+        session, ref_len = self._voice_clone_session(text, prompt, language, options)
+        frames = session.run_to_completion()
+
+        if ref_len > 0 and prompt.ref_codes is not None:
+            combined = np.concatenate(
+                [np.asarray(prompt.ref_codes, np.int32), frames], axis=0
+            )
+            audio = self.decode_codes(combined)
+            # Proportional front cut (src/lib.rs:1022-1044)
+            cut = ref_len * len(audio) // max(len(combined), 1)
+            audio = AudioBuffer(audio.samples[min(cut, len(audio)):], audio.sample_rate)
+        else:
+            audio = self.decode_codes(frames)
+        return audio, frames
+
+    # ------------------------------------------------------------------
+    # Decode helpers
+    # ------------------------------------------------------------------
+
+    def codes_to_tensor(self, frames: np.ndarray) -> np.ndarray:
+        """[T, 16] frame-major codes -> [1, 16, T] codebook-major."""
+        frames = np.asarray(frames, np.int32)
+        return frames.T[None]
+
+    def decode_codes(self, frames: np.ndarray) -> AudioBuffer:
+        """Decode [T, 16] frames to 24 kHz audio (bucketed, exact)."""
+        frames = np.asarray(frames, np.int32)
+        if frames.size == 0:
+            return AudioBuffer(np.zeros(0, np.float32), T.OUTPUT_SAMPLE_RATE)
+        wav = vocoder.decode_bucketed(
+            self.vocoder_params,
+            self.vocoder_config,
+            self.codes_to_tensor(frames),
+            bucket=DECODE_BUCKET,
+        )
+        return AudioBuffer(wav[0], T.OUTPUT_SAMPLE_RATE)
+
+
+class StreamingSession:
+    """Pull-based streaming synthesis; also drives non-streaming synthesis.
+
+    Holds the donated generation carry between chunks; each ``next_chunk``
+    advances the jitted while_loop by ``chunk_frames`` frames and decodes
+    only the new frames (chunked vocoder context, like the reference's
+    StreamingSession, src/lib.rs:1484-1782).
+    """
+
+    def __init__(self, model, state, scfg, options, trailing, trailing_len, pad_embed, uniforms):
+        self.model = model
+        self.state = state
+        self.scfg = scfg
+        self.options = options
+        self.trailing = trailing
+        self.trailing_len = trailing_len
+        self.pad_embed = pad_embed
+        self.uniforms = uniforms
+        self.frames_emitted = 0
+        self._exhausted = False
+
+    @property
+    def frames_generated(self) -> int:
+        return int(self.state.frame_idx)
+
+    def is_done(self) -> bool:
+        return self._exhausted
+
+    def _advance(self, frame_limit: int):
+        self.state = core.generate_frames_jit(
+            self.model.talker_params,
+            self.model.cp_params,
+            self.model.config.talker,
+            self.model.config.code_predictor,
+            self.scfg,
+            self.state,
+            self.trailing,
+            self.trailing_len,
+            self.pad_embed,
+            self.uniforms,
+            jnp.int32(frame_limit),
+        )
+
+    def run_to_completion(self) -> np.ndarray:
+        """Generate every remaining frame; returns [n, 16] int32."""
+        self._advance(self.options.max_length)
+        n = int(self.state.frame_idx)
+        frames = np.asarray(jax.device_get(self.state.frames[:n]))
+        self.frames_emitted = n
+        self._exhausted = True
+        return frames
+
+    def next_chunk(self) -> AudioBuffer | None:
+        """Generate + decode the next ~chunk_frames frames, or None when done."""
+        if self._exhausted:
+            return None
+        target = min(
+            self.frames_emitted + self.options.chunk_frames, self.options.max_length
+        )
+        self._advance(target)
+        n = int(self.state.frame_idx)
+        done = bool(self.state.done) or n >= self.options.max_length
+        if n <= self.frames_emitted:
+            self._exhausted = True
+            return None
+        new = np.asarray(jax.device_get(self.state.frames[self.frames_emitted : n]))
+        self.frames_emitted = n
+        if done:
+            self._exhausted = True
+        # Chunked decode: the vocoder sees only this chunk's context, matching
+        # the reference's streaming behavior (frame-count parity, not
+        # sample-identical to batch decode).
+        wav = vocoder.decode_bucketed(
+            self.model.vocoder_params,
+            self.model.vocoder_config,
+            self.model.codes_to_tensor(new),
+            bucket=max(self.options.chunk_frames, 1),
+        )
+        return AudioBuffer(wav[0], T.OUTPUT_SAMPLE_RATE)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> AudioBuffer:
+        chunk = self.next_chunk()
+        if chunk is None:
+            raise StopIteration
+        return chunk

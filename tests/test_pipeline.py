@@ -1,0 +1,145 @@
+"""End-to-end pipeline tests on tiny random models (all variants, streaming)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3_tts_tpu import tokens as T
+from qwen3_tts_tpu.models import weights as W
+from qwen3_tts_tpu.models.codec import vocoder
+from qwen3_tts_tpu.models.config import (
+    CodePredictorConfig,
+    ModelConfig,
+    ModelType,
+    TalkerConfig,
+)
+from qwen3_tts_tpu.pipeline import Qwen3TTS, SynthesisOptions, VoiceClonePrompt
+
+
+class FakeTokenizer:
+    """Deterministic stand-in: maps characters to small token ids."""
+
+    def encode(self, text: str) -> list[int]:
+        return [(3 + (ord(c) % 50)) for c in text[:12]] or [5]
+
+
+TINY_TALKER = TalkerConfig(
+    text_embed_dim=32,
+    hidden_size=64,
+    text_proj_intermediate=32,
+    intermediate_size=128,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    head_dim=16,
+)
+TINY_CP = CodePredictorConfig(
+    hidden_size=64,
+    intermediate_size=64,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    head_dim=16,
+    vocab_size=128,
+)
+TINY_VOC = vocoder.VocoderConfig(
+    codebook_dim=16,
+    latent_dim=24,
+    hidden_size=16,
+    num_layers=2,
+    num_heads=2,
+    head_dim=8,
+    intermediate_size=32,
+    codebook_size=2048,
+    codebook_embed_dim=8,
+    decoder_dim=32,
+)
+
+OPTS = SynthesisOptions(max_length=8, seed=42)
+
+
+def tiny_model(variant=ModelType.CUSTOM_VOICE, dtype=jnp.float32) -> Qwen3TTS:
+    cfg = ModelConfig(
+        model_type=variant, model_size="0b6", talker=TINY_TALKER, code_predictor=TINY_CP
+    )
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(3), 3)
+    return Qwen3TTS(
+        cfg,
+        W.init_talker_params(k1, TINY_TALKER, dtype),
+        W.init_code_predictor_params(k2, TINY_CP, dtype),
+        vocoder.init_vocoder_params(k3, TINY_VOC),
+        FakeTokenizer(),
+        vocoder_config=TINY_VOC,
+    )
+
+
+@pytest.fixture(scope="module")
+def model():
+    return tiny_model()
+
+
+def test_synthesize_with_voice(model):
+    audio, timing = model.synthesize_with_timing("Hello world", "ryan", "english", OPTS)
+    assert audio.sample_rate == 24000
+    assert timing.generation_frames > 0
+    assert len(audio) == timing.generation_frames * T.SAMPLES_PER_FRAME
+    assert np.isfinite(audio.samples).all()
+
+
+def test_synthesize_deterministic(model):
+    a1 = model.synthesize_with_voice("Same text", "ryan", "english", OPTS)
+    a2 = model.synthesize_with_voice("Same text", "ryan", "english", OPTS)
+    np.testing.assert_array_equal(a1.samples, a2.samples)
+
+
+def test_streaming_frame_parity(model):
+    """Streaming must produce the same frame count as batch (same seed)."""
+    _, timing = model.synthesize_with_timing("Stream me", "ryan", "english", OPTS)
+    session = model.synthesize_streaming("Stream me", "ryan", "english",
+                                         SynthesisOptions(max_length=8, seed=42, chunk_frames=3))
+    chunks = list(session)
+    total = sum(len(c) for c in chunks)
+    assert total == timing.generation_frames * T.SAMPLES_PER_FRAME
+    assert all(c.sample_rate == 24000 for c in chunks)
+    assert len(chunks) >= 1
+
+
+def test_voice_design(model):
+    audio = model.synthesize_voice_design("Hi", "a deep calm voice", "english", OPTS)
+    assert len(audio) % T.SAMPLES_PER_FRAME == 0
+    assert len(audio) > 0
+
+
+def test_voice_clone_xvector(model):
+    prompt = VoiceClonePrompt(
+        speaker_embedding=np.random.RandomState(0).randn(64).astype(np.float32)
+    )
+    audio, frames = model.synthesize_voice_clone_debug("Clone", prompt, "english", OPTS)
+    assert frames.shape[1] == 16
+    assert len(audio) == frames.shape[0] * T.SAMPLES_PER_FRAME
+
+
+def test_voice_clone_icl(model):
+    rs = np.random.RandomState(1)
+    prompt = VoiceClonePrompt(
+        speaker_embedding=rs.randn(64).astype(np.float32),
+        ref_codes=rs.randint(0, 128, size=(6, 16)).astype(np.int32),
+        ref_text_ids=[7, 9, 11],
+    )
+    audio, frames = model.synthesize_voice_clone_debug("ICL", prompt, "english", OPTS)
+    assert frames.shape[0] > 0
+    # ICL proportional cut removes the reference-audio prefix
+    total = frames.shape[0] + 6
+    expected = total * T.SAMPLES_PER_FRAME - (6 * total * T.SAMPLES_PER_FRAME) // total
+    assert len(audio) == expected
+
+
+def test_capability_probes():
+    m = tiny_model(ModelType.CUSTOM_VOICE)
+    assert m.supports_preset_speakers()
+    assert not m.supports_voice_design()
+    assert not m.supports_voice_cloning()  # no speaker encoder attached
+    vd = tiny_model(ModelType.VOICE_DESIGN)
+    assert vd.supports_voice_design()
+    assert not vd.supports_preset_speakers()
