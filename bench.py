@@ -1,0 +1,108 @@
+"""End-to-end benchmark: 1.7B bf16 non-streaming RTF on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "rtf_1p7b_bf16_nonstreaming", "value": <rtf>, "unit": "ratio",
+   "vs_baseline": <reference_rtf / our_rtf>}
+
+Methodology mirrors the reference bench (benches/e2e_bench.rs + BASELINE.md):
+warmup + timed iterations, RTF = wall_time / audio_duration at 12.5 Hz
+frames. Weights are synthetic at the real 1.7B dimensions when no checkpoint
+is present (timing is independent of weight values); generation length is
+pinned to a fixed frame count via min_new_tokens so every run does identical
+work. Baseline: 0.64 RTF (1.7B bf16, GB10 CUDA, docs/BENCHMARKS.md:49-61).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+BASELINE_RTF_1P7B = 0.64
+FRAMES = 125  # 10 s of audio
+WARMUP_ITERS = 1
+TIMED_ITERS = 3
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    from qwen3_tts_tpu import SynthesisOptions, tokens as T
+    from qwen3_tts_tpu.models.config import config_for_variant
+    from qwen3_tts_tpu.pipeline import Qwen3TTS
+
+    log(f"devices: {jax.devices()}")
+
+    ckpt = os.environ.get("QWEN3_TTS_CKPT")
+    if ckpt and Path(ckpt).exists():
+        log(f"loading checkpoint from {ckpt}")
+        model = Qwen3TTS.from_pretrained(ckpt)
+    else:
+        log("no checkpoint; benchmarking with synthetic weights at 1.7B dims")
+        model = Qwen3TTS.from_random(config_for_variant("1.7B", "custom_voice"))
+
+    class BenchTokenizer:
+        """Fixed 13-token prompt (matching the short-corpus length class)."""
+
+        def encode(self, text):
+            return [200 + (i * 37) % 1000 for i in range(13)]
+
+    if model.tokenizer is None:
+        model.tokenizer = BenchTokenizer()
+
+    opts = SynthesisOptions(
+        max_length=FRAMES, min_new_tokens=FRAMES, seed=42, temperature=0.9
+    )
+    text = "The quick brown fox jumps over the lazy dog near the river bank today."
+
+    # Warmup: compiles prefill, generation loop, and vocoder programs.
+    t0 = time.perf_counter()
+    audio, timing = model.synthesize_with_timing(text, "ryan", "english", opts)
+    log(
+        f"warmup: {time.perf_counter() - t0:.1f}s total "
+        f"(prefill {timing.prefill_ms:.0f} ms, gen {timing.generation_ms:.0f} ms "
+        f"/ {timing.generation_frames} frames, decode {timing.decode_ms:.0f} ms)"
+    )
+    assert timing.generation_frames == FRAMES, timing
+
+    rtfs, details = [], []
+    for i in range(TIMED_ITERS):
+        t0 = time.perf_counter()
+        audio, timing = model.synthesize_with_timing(text, "ryan", "english", opts)
+        wall = time.perf_counter() - t0
+        audio_s = len(audio) / T.OUTPUT_SAMPLE_RATE
+        rtf = wall / audio_s
+        frame_ms = timing.generation_ms / max(timing.generation_frames, 1)
+        rtfs.append(rtf)
+        details.append(
+            dict(
+                wall_s=round(wall, 3),
+                rtf=round(rtf, 4),
+                frame_ms=round(frame_ms, 2),
+                prefill_ms=round(timing.prefill_ms, 1),
+                generation_ms=round(timing.generation_ms, 1),
+                decode_ms=round(timing.decode_ms, 1),
+                frames=timing.generation_frames,
+                tok_per_s=round(1000.0 / frame_ms, 2),
+            )
+        )
+        log(f"iter {i}: {details[-1]}")
+
+    rtf = sum(rtfs) / len(rtfs)
+    result = {
+        "metric": "rtf_1p7b_bf16_nonstreaming",
+        "value": round(rtf, 4),
+        "unit": "ratio",
+        "vs_baseline": round(BASELINE_RTF_1P7B / rtf, 3),
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -136,7 +136,7 @@ def generate_frames(
         next_token = sampling.sample(logits, scfg, uniform)[0]
         penalty_mask = s.penalty_mask.at[next_token].set(1.0)
 
-        return GenState(
+        new = GenState(
             cache=cache,
             last_hidden=hidden,
             token=next_token,
@@ -146,6 +146,9 @@ def generate_frames(
             pos=s.pos + 1,
             done=next_token == scfg.eos_token_id,
         )
+        # Under vmap (dp-batched serving) the body runs while ANY instance is
+        # live; freeze instances that already hit EOS so batching is exact.
+        return jax.tree.map(lambda old, upd: jnp.where(s.done, old, upd), s, new)
 
     return jax.lax.while_loop(cond, body, state)
 
