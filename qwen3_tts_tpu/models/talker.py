@@ -59,14 +59,19 @@ def _role_prefix(params: dict) -> jnp.ndarray:
     return embed_text(params, ids)
 
 
+def _ids(*vals) -> jnp.ndarray:
+    """Stack python-int and traced scalars into an int32 id vector."""
+    return jnp.stack([jnp.asarray(v, jnp.int32) for v in vals])
+
+
 def build_custom_voice_prompt(
-    params: dict, first_text_id: jnp.ndarray, speaker_id: int, lang_id: int
+    params: dict, first_text_id: jnp.ndarray, speaker_id, lang_id
 ) -> jnp.ndarray:
-    """CustomVoice prompt embedding [1, 10, hidden]."""
+    """CustomVoice prompt embedding [1, 10, hidden]. ``speaker_id``/``lang_id``
+    may be traced scalars (voice switching without recompilation)."""
     role = _role_prefix(params)
-    codec_ids = jnp.array(
-        [T.CODEC_THINK, T.CODEC_THINK_BOS, lang_id, T.CODEC_THINK_EOS, speaker_id, T.CODEC_PAD],
-        dtype=jnp.int32,
+    codec_ids = _ids(
+        T.CODEC_THINK, T.CODEC_THINK_BOS, lang_id, T.CODEC_THINK_EOS, speaker_id, T.CODEC_PAD
     )
     overlay_text = embed_text(
         params, jnp.array([T.TTS_PAD] * 5 + [T.TTS_BOS], dtype=jnp.int32)
@@ -92,10 +97,7 @@ def build_voice_clone_prompt(
     """
     role = _role_prefix(params)
     prefix = embed_codec(
-        params,
-        jnp.array(
-            [T.CODEC_THINK, T.CODEC_THINK_BOS, lang_id, T.CODEC_THINK_EOS], dtype=jnp.int32
-        ),
+        params, _ids(T.CODEC_THINK, T.CODEC_THINK_BOS, lang_id, T.CODEC_THINK_EOS)
     )
     pad = embed_codec(params, jnp.array([T.CODEC_PAD], dtype=jnp.int32))
     codec_rows = jnp.concatenate(
@@ -115,13 +117,12 @@ def build_voice_clone_prompt(
 
 
 def build_voice_design_suffix(
-    params: dict, first_text_id: jnp.ndarray, lang_id: int
+    params: dict, first_text_id: jnp.ndarray, lang_id
 ) -> jnp.ndarray:
     """VoiceDesign post-instruct rows [9, hidden]: role(3) + overlay(5) + first(1)."""
     role = _role_prefix(params)
-    codec_ids = jnp.array(
-        [T.CODEC_THINK, T.CODEC_THINK_BOS, lang_id, T.CODEC_THINK_EOS, T.CODEC_PAD],
-        dtype=jnp.int32,
+    codec_ids = _ids(
+        T.CODEC_THINK, T.CODEC_THINK_BOS, lang_id, T.CODEC_THINK_EOS, T.CODEC_PAD
     )
     overlay_text = embed_text(
         params, jnp.array([T.TTS_PAD] * 4 + [T.TTS_BOS], dtype=jnp.int32)

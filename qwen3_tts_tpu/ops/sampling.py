@@ -83,6 +83,33 @@ def multinomial(probs: jnp.ndarray, uniform: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmin(masked, axis=-1).astype(jnp.int32)
 
 
+def _fused_top_k_top_p(logits: jnp.ndarray, k: int, p: float) -> jnp.ndarray:
+    """top-k then top-p with a single descending sort.
+
+    Equivalent to top_k_filter followed by top_p_filter: the top-k threshold
+    masks the sorted tail to -inf before the nucleus softmax, so the nucleus
+    statistics match filtering sequentially — but the vocab-size sort runs
+    once per frame instead of twice.
+    """
+    vocab = logits.shape[-1]
+    k = min(k, vocab)
+    sorted_desc = -jnp.sort(-logits, axis=-1)
+    thr_k = sorted_desc[..., k - 1 : k]
+    kept_sorted = jnp.where(sorted_desc >= thr_k, sorted_desc, NEG_INF)
+
+    probs = jnp.exp(kept_sorted - kept_sorted[..., :1])
+    probs = probs / probs.sum(axis=-1, keepdims=True)
+    cumulative = jnp.cumsum(probs, axis=-1)
+    exclusive = jnp.concatenate(
+        [jnp.zeros_like(cumulative[..., :1]), cumulative[..., :-1]], axis=-1
+    )
+    removed = exclusive >= jnp.asarray(p, logits.dtype)
+    kept = jnp.where(removed, jnp.asarray(float("inf"), logits.dtype), kept_sorted)
+    min_kept = kept.min(axis=-1, keepdims=True)
+    threshold = jnp.maximum(min_kept, thr_k)
+    return jnp.where(logits >= threshold, logits, NEG_INF)
+
+
 def sample(
     logits: jnp.ndarray, cfg: SamplingConfig, uniform: jnp.ndarray
 ) -> jnp.ndarray:
@@ -92,9 +119,11 @@ def sample(
         logits = logits / jnp.float32(cfg.temperature)
     if cfg.greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    if cfg.top_k > 0:
+    if cfg.top_k > 0 and 0.0 < cfg.top_p < 1.0:
+        logits = _fused_top_k_top_p(logits, cfg.top_k, cfg.top_p)
+    elif cfg.top_k > 0:
         logits = top_k_filter(logits, cfg.top_k)
-    if 0.0 < cfg.top_p < 1.0:
+    elif 0.0 < cfg.top_p < 1.0:
         logits = top_p_filter(logits, cfg.top_p)
     probs = jnp.exp(logits - logits.max(axis=-1, keepdims=True))
     probs = probs / probs.sum(axis=-1, keepdims=True)

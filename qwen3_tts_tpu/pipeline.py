@@ -28,7 +28,7 @@ import numpy as np
 
 from .audio.io import AudioBuffer
 from .audio.resample import resample_to_24k
-from .generation import core
+from .generation import core, prefill
 from .models import code_predictor as cp_model
 from .models import talker as talker_model
 from .models import tokens as T
@@ -247,55 +247,44 @@ class Qwen3TTS:
             dtype=self.talker_params["codec_head"].dtype,
         )
 
-    def _start_session(
-        self,
-        prompt: jnp.ndarray,
-        prefill_len: int,
-        options: SynthesisOptions,
-        trailing: jnp.ndarray,
-        trailing_len,
-    ) -> "StreamingSession":
-        max_new_bucket = next_bucket(options.max_length, buckets=FRAME_BUCKETS)
-        cache = self._new_cache(prompt.shape[1], max_new_bucket)
-        uniforms = self._uniforms(options.seed, max_new_bucket)
-        scfg = options.sampling_config()
-        state = core.prefill_and_start(
-            self.talker_params,
-            self.config.talker,
-            scfg,
-            prompt,
-            jnp.int32(prefill_len),
-            cache,
-            uniforms,
-            max_new_bucket,
-        )
-        pad = talker_model.tts_pad_embed(self.talker_params)[0]
+    def _make_session(self, started, options: SynthesisOptions, uniforms) -> "StreamingSession":
+        state, trailing, trailing_len, pad = started
         return StreamingSession(
             self,
             state=state,
-            scfg=scfg,
+            scfg=options.sampling_config(),
             options=options,
             trailing=trailing,
-            trailing_len=jnp.int32(trailing_len),
+            trailing_len=trailing_len,
             pad_embed=pad,
             uniforms=uniforms,
         )
+
+    def _session_inputs(self, options: SynthesisOptions, prefill_bucket: int):
+        max_new_bucket = next_bucket(options.max_length, buckets=FRAME_BUCKETS)
+        cache = self._new_cache(prefill_bucket, max_new_bucket)
+        uniforms = self._uniforms(options.seed, max_new_bucket)
+        return max_new_bucket, cache, uniforms
 
     def _custom_voice_session(
         self, text: str, speaker: str, language: str, options: SynthesisOptions
     ) -> "StreamingSession":
         ids = self._encode_text(text)
         text_ids, text_len = self._pad_ids(ids)
-        prompt = talker_model.build_custom_voice_prompt(
+        max_new_bucket, cache, uniforms = self._session_inputs(options, 10)
+        started = prefill.prefill_custom_voice(
             self.talker_params,
-            text_ids[0],
-            T.speaker_info(speaker).token_id,
-            T.language_token_id(language),
+            self.config.talker,
+            options.sampling_config(),
+            text_ids,
+            jnp.int32(text_len),
+            jnp.int32(T.speaker_info(speaker).token_id),
+            jnp.int32(T.language_token_id(language)),
+            cache,
+            uniforms,
+            max_new_bucket,
         )
-        trailing = talker_model.build_trailing_text(
-            self.talker_params, text_ids, jnp.int32(text_len)
-        )
-        return self._start_session(prompt, prompt.shape[1], options, trailing, text_len)
+        return self._make_session(started, options, uniforms)
 
     def _voice_design_session(
         self, text: str, instruct: str, language: str, options: SynthesisOptions
@@ -303,23 +292,26 @@ class Qwen3TTS:
         ids = self._encode_text(text)
         text_ids, text_len = self._pad_ids(ids)
         # ChatML user framing for the instruct (src/lib.rs:826-828)
-        instruct_ids = self._encode_text(f"<|im_start|>user\n{instruct}<|im_end|>\n")
-
-        suffix = talker_model.build_voice_design_suffix(
-            self.talker_params, text_ids[0], T.language_token_id(language)
-        )  # [9, hidden]
-        instruct_emb = talker_model.embed_text(
-            self.talker_params, jnp.asarray(np.asarray(instruct_ids, np.int32))
-        )  # [N, hidden]
-        rows = jnp.concatenate([instruct_emb, suffix], axis=0)
-        prefill_len = rows.shape[0]
-        bucket = next_bucket(prefill_len, TEXT_BUCKET)
-        prompt = jnp.zeros((1, bucket, rows.shape[-1]), rows.dtype)
-        prompt = prompt.at[0, :prefill_len].set(rows)
-        trailing = talker_model.build_trailing_text(
-            self.talker_params, text_ids, jnp.int32(text_len)
+        instruct_ids, instruct_len = self._pad_ids(
+            self._encode_text(f"<|im_start|>user\n{instruct}<|im_end|>\n")
         )
-        return self._start_session(prompt, prefill_len, options, trailing, text_len)
+        max_new_bucket, cache, uniforms = self._session_inputs(
+            options, instruct_ids.shape[0] + 9
+        )
+        started = prefill.prefill_voice_design(
+            self.talker_params,
+            self.config.talker,
+            options.sampling_config(),
+            text_ids,
+            jnp.int32(text_len),
+            instruct_ids,
+            jnp.int32(instruct_len),
+            jnp.int32(T.language_token_id(language)),
+            cache,
+            uniforms,
+            max_new_bucket,
+        )
+        return self._make_session(started, options, uniforms)
 
     def _voice_clone_session(
         self,
@@ -348,24 +340,22 @@ class Qwen3TTS:
         compute_dtype = self.talker_params["codec_head"].dtype
         speaker_vec = jnp.asarray(prompt_data.speaker_embedding, compute_dtype)
 
-        text_ids, text_len = self._pad_ids(ids)
-        prompt = talker_model.build_voice_clone_prompt(
-            self.talker_params,
-            text_ids[0],
-            speaker_vec,
-            T.language_token_id(language),
-            icl_mode=is_icl,
-        )
-        base_len = prompt.shape[1]  # 9 (ICL) or 10
-
         if not is_icl:
-            trailing = talker_model.build_trailing_text(
-                self.talker_params, text_ids, jnp.int32(text_len)
+            text_ids, text_len = self._pad_ids(ids)
+            max_new_bucket, cache, uniforms = self._session_inputs(options, 10)
+            started = prefill.prefill_voice_clone_xvector(
+                self.talker_params,
+                self.config.talker,
+                options.sampling_config(),
+                text_ids,
+                jnp.int32(text_len),
+                speaker_vec,
+                jnp.int32(T.language_token_id(language)),
+                cache,
+                uniforms,
+                max_new_bucket,
             )
-            return (
-                self._start_session(prompt, base_len, options, trailing, text_len),
-                0,
-            )
+            return self._make_session(started, options, uniforms), 0
 
         # --- ICL extension: prompt = [voice_clone(9) || icl rows] ---
         ref_codes = np.asarray(prompt_data.ref_codes, np.int32)  # [Tr, 16]
@@ -385,17 +375,22 @@ class Qwen3TTS:
         codec_padded = codec_padded.at[1 : t_ref + 1].set(codec_rows)
         n_codec = t_ref + 1
 
-        icl_rows, trailing, trailing_len = talker_model.build_icl_rows(
+        max_new_bucket, cache, uniforms = self._session_inputs(options, 9 + cb)
+        started = prefill.prefill_voice_clone_icl(
             self.talker_params,
+            self.config.talker,
+            options.sampling_config(),
             jnp.asarray(all_text_arr),
             jnp.int32(len(all_text)),
+            speaker_vec,
             codec_padded,
             jnp.int32(n_codec),
+            jnp.int32(T.language_token_id(language)),
+            cache,
+            uniforms,
+            max_new_bucket,
         )
-        full = jnp.concatenate([prompt, icl_rows], axis=1)
-        prefill_len = base_len + n_codec
-        session = self._start_session(full, prefill_len, options, trailing, trailing_len)
-        return session, t_ref
+        return self._make_session(started, options, uniforms), t_ref
 
     def _sum_ref_codec_embeddings(self, ref_codes: np.ndarray) -> jnp.ndarray:
         """[T, 16] codes -> [T, hidden]: talker codec embedding of group 0 +
