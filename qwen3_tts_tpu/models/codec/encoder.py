@@ -1,0 +1,323 @@
+"""Mimi speech-tokenizer encoder: 24 kHz audio -> 16-codebook 12.5 Hz codes.
+
+Used by ICL voice cloning to tokenize reference audio. The reference reuses
+candle-transformers' Mimi components (src/models/codec/encoder_12hz.rs);
+this is a from-scratch JAX implementation of the same architecture
+(HF MimiModel encoder path, num_quantizers=16):
+
+  SEANet encoder   conv k7 -> 4 x [resnet, ELU, strided conv k=2r s=r]
+                   (ratios 4,5,6,8, channels 64 -> 1024) -> ELU -> conv k3
+                   -> [B, T_25hz, 512]
+  transformer      8 causal layers, 8 heads x 64, LayerNorm(+bias),
+                   gelu MLP 2048, layer-scale, RoPE theta 1e4,
+                   sliding window 250
+  downsample       causal conv k4 s2 (replicate pad), 25 -> 12.5 Hz
+  split RVQ        semantic RVQ (1 codebook) + acoustic RVQ (15 residual
+                   codebooks), euclidean nearest neighbour against
+                   embed_sum / clamp(cluster_usage, 1e-5), input projected
+                   512 -> 256 per RVQ
+
+All convs use Mimi's causal padding: left pad = effective_kernel - stride,
+plus right "extra" padding so the final frame is complete. Float32.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class MimiEncoderConfig:
+    sampling_rate: int = 24000
+    num_filters: int = 64
+    ratios: tuple[int, ...] = (8, 6, 5, 4)  # config order; encoder applies reversed
+    kernel_size: int = 7
+    last_kernel_size: int = 3
+    residual_kernel_size: int = 3
+    compress: int = 2
+    hidden_size: int = 512
+    num_layers: int = 8
+    num_heads: int = 8
+    head_dim: int = 64
+    intermediate_size: int = 2048
+    norm_eps: float = 1e-5
+    rope_theta: float = 1e4
+    sliding_window: int = 250
+    layer_scale: float = 0.01
+    codebook_size: int = 2048
+    codebook_dim: int = 256
+    num_quantizers: int = 16
+    downsample_stride: int = 2
+
+
+def _causal_pad_amounts(length: int, k_eff: int, stride: int) -> tuple[int, int]:
+    """Mimi causal padding: (left, right_extra) for an input of ``length``.
+
+    left = k_eff - stride; right extra completes the final frame
+    (modeling_mimi.MimiConv1d._get_extra_padding_for_conv1d).
+    """
+    padding_total = k_eff - stride
+    n_frames = (length - k_eff + padding_total) / stride + 1
+    ideal = (math.ceil(n_frames) - 1) * stride + k_eff - padding_total
+    return padding_total, max(ideal - length, 0)
+
+
+def _mimi_conv(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray | None,
+    stride: int = 1,
+    dilation: int = 1,
+    pad_mode: str = "constant",
+) -> jnp.ndarray:
+    """Causal Mimi conv on channels-last [B, T, C]; kernel [K, Cin, Cout]."""
+    k = kernel.shape[0]
+    k_eff = (k - 1) * dilation + 1
+    left, extra = _causal_pad_amounts(x.shape[1], k_eff, stride)
+    if left + extra > 0:
+        mode = "edge" if pad_mode == "replicate" else "constant"
+        x = jnp.pad(x, ((0, 0), (left, extra), (0, 0)), mode=mode)
+    out = jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(stride,),
+        padding=((0, 0),),
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def _resnet_block(x: jnp.ndarray, p: dict) -> jnp.ndarray:
+    """ELU -> conv k3 -> ELU -> conv k1, identity shortcut."""
+    h = jax.nn.elu(x)
+    h = _mimi_conv(h, p["conv1_w"], p["conv1_b"])
+    h = jax.nn.elu(h)
+    h = _mimi_conv(h, p["conv2_w"], p["conv2_b"])
+    return x + h
+
+
+def _seanet_encoder(params: dict, cfg: MimiEncoderConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """[B, N, 1] audio -> [B, T_25hz, hidden]."""
+    h = _mimi_conv(x, params["init_w"], params["init_b"])
+    for stage in params["stages"]:
+        h = _resnet_block(h, stage["resnet"])
+        h = jax.nn.elu(h)
+        h = _mimi_conv(h, stage["down_w"], stage["down_b"], stride=stage["ratio"])
+    h = jax.nn.elu(h)
+    return _mimi_conv(h, params["final_w"], params["final_b"])
+
+
+def _layer_norm(x, w, b, eps):
+    mean = x.mean(axis=-1, keepdims=True)
+    var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * w + b
+
+
+def _rope_rotate_half(x, cos, sin):
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return x * cos + rotated * sin
+
+
+def _transformer(params: dict, cfg: MimiEncoderConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """8 causal layers with sliding-window attention; x: [B, T, hidden]."""
+    b, t, _ = x.shape
+    nh, d = cfg.num_heads, cfg.head_dim
+
+    pos = jnp.arange(t, dtype=jnp.float32)
+    inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    freqs = pos[:, None] * inv_freq[None, :]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    cos, sin = jnp.cos(emb)[None, None], jnp.sin(emb)[None, None]  # [1,1,T,D]
+
+    q_idx = jnp.arange(t)[:, None]
+    k_idx = jnp.arange(t)[None, :]
+    mask = (k_idx <= q_idx) & (q_idx - k_idx < cfg.sliding_window)
+    mask = mask[None, None]  # [1,1,T,T]
+
+    h = x
+    for p in params["layers"]:
+        normed = _layer_norm(h, p["ln1_w"], p["ln1_b"], cfg.norm_eps)
+        q = (normed @ p["q_proj"]).reshape(b, t, nh, d).swapaxes(1, 2)
+        k = (normed @ p["k_proj"]).reshape(b, t, nh, d).swapaxes(1, 2)
+        v = (normed @ p["v_proj"]).reshape(b, t, nh, d).swapaxes(1, 2)
+        q = _rope_rotate_half(q, cos, sin)
+        k = _rope_rotate_half(k, cos, sin)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(d)
+        scores = jnp.where(mask, scores, -1e30)
+        attn = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.swapaxes(1, 2).reshape(b, t, nh * d) @ p["o_proj"]
+        h = h + out * p["attn_scale"]
+        normed = _layer_norm(h, p["ln2_w"], p["ln2_b"], cfg.norm_eps)
+        mlp = jax.nn.gelu(normed @ p["fc1"], approximate=False) @ p["fc2"]
+        h = h + mlp * p["mlp_scale"]
+    return h
+
+
+def _nearest_code(x: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
+    """Euclidean nearest-neighbour indices: x [.., D], codebook [V, D]."""
+    d2 = (
+        (x**2).sum(-1, keepdims=True)
+        - 2.0 * x @ codebook.T
+        + (codebook**2).sum(-1)[None, :]
+    )
+    return jnp.argmin(d2, axis=-1).astype(jnp.int32)
+
+
+def _rvq_encode(x: jnp.ndarray, proj: jnp.ndarray, codebooks: jnp.ndarray) -> jnp.ndarray:
+    """Residual VQ encode: x [B, T, hidden] -> codes [Q, B, T]."""
+    h = x @ proj  # [B, T, codebook_dim]
+    codes = []
+    residual = h
+    for q in range(codebooks.shape[0]):
+        idx = _nearest_code(residual, codebooks[q])
+        codes.append(idx)
+        residual = residual - codebooks[q][idx]
+    return jnp.stack(codes)
+
+
+def forward(params: dict, cfg: MimiEncoderConfig, audio: jnp.ndarray) -> jnp.ndarray:
+    """[B, N] 24 kHz audio -> [B, T_12hz, num_quantizers] int32 codes."""
+    x = audio.astype(jnp.float32)[..., None]  # [B, N, 1]
+    h = _seanet_encoder(params["seanet"], cfg, x)
+    h = _transformer(params["transformer"], cfg, h)
+    h = _mimi_conv(
+        h,
+        params["downsample_w"],
+        None,
+        stride=cfg.downsample_stride,
+        pad_mode="replicate",
+    )
+    semantic = _rvq_encode(
+        h, params["semantic_proj"], params["semantic_codebooks"]
+    )  # [1, B, T]
+    acoustic = _rvq_encode(
+        h, params["acoustic_proj"], params["acoustic_codebooks"]
+    )  # [15, B, T]
+    codes = jnp.concatenate([semantic, acoustic], axis=0)  # [16, B, T]
+    return codes.transpose(1, 2, 0)  # [B, T, 16]
+
+
+class Encoder12Hz:
+    """Host-facing wrapper: 24 kHz samples -> [T, 16] int32 codes."""
+
+    def __init__(self, params: dict, cfg: MimiEncoderConfig = MimiEncoderConfig()):
+        self.params = params
+        self.cfg = cfg
+
+    def encode(self, samples: np.ndarray) -> np.ndarray:
+        x = jnp.asarray(np.asarray(samples, np.float32))[None]
+        codes = forward(self.params, self.cfg, x)
+        return np.asarray(codes[0])
+
+    # -- loading -------------------------------------------------------------
+
+    @classmethod
+    def from_weights(
+        cls, weights: dict, cfg: MimiEncoderConfig = MimiEncoderConfig()
+    ) -> "Encoder12Hz":
+        """Build from HF speech-tokenizer weights (keys under ``encoder.``)."""
+        p = "encoder"
+
+        def conv(key):
+            w = jnp.asarray(weights[f"{key}.weight"], jnp.float32).transpose(2, 1, 0)
+            bias_key = f"{key}.bias"
+            b = (
+                jnp.asarray(weights[bias_key], jnp.float32)
+                if bias_key in weights
+                else None
+            )
+            return w, b
+
+        def lin(key):
+            return jnp.asarray(weights[f"{key}.weight"], jnp.float32).T
+
+        # SEANet layer indices: 0 init; per stage i: resnet 3i+1, conv 3i+3;
+        # final conv at 14 (modeling_mimi.MimiEncoder).
+        init_w, init_b = conv(f"{p}.encoder.layers.0.conv")
+        stages = []
+        for i, ratio in enumerate(reversed(cfg.ratios)):
+            rb = f"{p}.encoder.layers.{3 * i + 1}.block"
+            c1w, c1b = conv(f"{rb}.1.conv")
+            c2w, c2b = conv(f"{rb}.3.conv")
+            dw, db = conv(f"{p}.encoder.layers.{3 * i + 3}.conv")
+            stages.append(
+                {
+                    "resnet": {"conv1_w": c1w, "conv1_b": c1b, "conv2_w": c2w, "conv2_b": c2b},
+                    "down_w": dw,
+                    "down_b": db,
+                    "ratio": ratio,
+                }
+            )
+        final_w, final_b = conv(f"{p}.encoder.layers.{3 * len(cfg.ratios) + 2}.conv")
+
+        layers = []
+        for i in range(cfg.num_layers):
+            lp = f"{p}.encoder_transformer.layers.{i}"
+            layers.append(
+                {
+                    "ln1_w": jnp.asarray(weights[f"{lp}.input_layernorm.weight"], jnp.float32),
+                    "ln1_b": jnp.asarray(weights[f"{lp}.input_layernorm.bias"], jnp.float32),
+                    "q_proj": lin(f"{lp}.self_attn.q_proj"),
+                    "k_proj": lin(f"{lp}.self_attn.k_proj"),
+                    "v_proj": lin(f"{lp}.self_attn.v_proj"),
+                    "o_proj": lin(f"{lp}.self_attn.o_proj"),
+                    "attn_scale": jnp.asarray(
+                        weights[f"{lp}.self_attn_layer_scale.scale"], jnp.float32
+                    ),
+                    "ln2_w": jnp.asarray(
+                        weights[f"{lp}.post_attention_layernorm.weight"], jnp.float32
+                    ),
+                    "ln2_b": jnp.asarray(
+                        weights[f"{lp}.post_attention_layernorm.bias"], jnp.float32
+                    ),
+                    "fc1": lin(f"{lp}.mlp.fc1"),
+                    "fc2": lin(f"{lp}.mlp.fc2"),
+                    "mlp_scale": jnp.asarray(
+                        weights[f"{lp}.mlp_layer_scale.scale"], jnp.float32
+                    ),
+                }
+            )
+
+        def codebook(key):
+            usage = jnp.clip(jnp.asarray(weights[f"{key}.cluster_usage"], jnp.float32), 1e-5, None)
+            return jnp.asarray(weights[f"{key}.embed_sum"], jnp.float32) / usage[:, None]
+
+        sq = f"{p}.quantizer.semantic_residual_vector_quantizer"
+        aq = f"{p}.quantizer.acoustic_residual_vector_quantizer"
+        n_acoustic = cfg.num_quantizers - 1
+        dsw, _ = conv(f"{p}.downsample.conv")
+
+        params = {
+            "seanet": {
+                "init_w": init_w,
+                "init_b": init_b,
+                "stages": stages,
+                "final_w": final_w,
+                "final_b": final_b,
+            },
+            "transformer": {"layers": layers},
+            "downsample_w": dsw,
+            "semantic_proj": jnp.asarray(weights[f"{sq}.input_proj.weight"], jnp.float32)[
+                :, :, 0
+            ].T,
+            "semantic_codebooks": jnp.stack([codebook(f"{sq}.layers.0.codebook")]),
+            "acoustic_proj": jnp.asarray(weights[f"{aq}.input_proj.weight"], jnp.float32)[
+                :, :, 0
+            ].T,
+            "acoustic_codebooks": jnp.stack(
+                [codebook(f"{aq}.layers.{i}.codebook") for i in range(n_acoustic)]
+            ),
+        }
+        return cls(params, cfg)

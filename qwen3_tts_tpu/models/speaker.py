@@ -1,0 +1,236 @@
+"""ECAPA-TDNN speaker encoder: reference audio -> x-vector.
+
+Functional JAX implementation running in float32 (the reference keeps the
+speaker encoder F32 on every backend). Channels-last [B, T, C] convs with
+explicit reflect "same" padding. Parity reference:
+/root/reference/src/models/speaker.rs (Qwen3TTSSpeakerEncoder):
+
+  blocks[0]   TDNN(mel 128 -> ch0, k5)                      + ReLU
+  blocks[1-3] SE-Res2Net(ch, k3, dilation 2/3/4, scale 8, SE 128)
+  MFA         cat(block outputs) -> TDNN(k1) -> 1536
+  ASP         attentive statistics pooling -> [2C]
+  FC          1x1 conv -> enc_dim (1024 / 2048), unnormalized (norm ~ 10)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio.mel import MelSpectrogram, speaker_encoder_config
+from .config import SpeakerEncoderConfig
+
+
+def _reflect_same_conv(
+    x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray, dilation: int = 1
+) -> jnp.ndarray:
+    """Conv1d with PyTorch padding="same", padding_mode="reflect".
+
+    x: [B, T, Cin]; kernel: [K, Cin, Cout]. total_pad = dilation*(K-1),
+    split left = total//2, right = rest (speaker.rs:74-101).
+    """
+    k = kernel.shape[0]
+    total = dilation * (k - 1)
+    left, right = total // 2, total - total // 2
+    if total > 0:
+        x = jnp.pad(x, ((0, 0), (left, right), (0, 0)), mode="reflect")
+    out = jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1,),
+        padding=((0, 0),),
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out + bias
+
+
+def _tdnn(x: jnp.ndarray, p: dict, dilation: int = 1) -> jnp.ndarray:
+    """TimeDelayNetBlock: reflect-same conv + ReLU."""
+    return jax.nn.relu(_reflect_same_conv(x, p["w"], p["b"], dilation))
+
+
+def _res2net(x: jnp.ndarray, blocks: list[dict], scale: int, dilation: int) -> jnp.ndarray:
+    """Scale-split cascade: chunk 0 passes; chunk i adds previous output."""
+    chunk = x.shape[-1] // scale
+    outs = [x[..., :chunk]]
+    for i, p in enumerate(blocks):
+        piece = x[..., (i + 1) * chunk : (i + 2) * chunk]
+        inp = piece if i == 0 else piece + outs[-1]
+        outs.append(_tdnn(inp, p, dilation))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _se_block(x: jnp.ndarray, p: dict) -> jnp.ndarray:
+    """Squeeze-excitation: mean-pool over T -> 1x1 convs -> sigmoid scale."""
+    s = x.mean(axis=1, keepdims=True)  # [B, 1, C]
+    s = jax.nn.relu(s @ p["conv1_w"] + p["conv1_b"])
+    s = jax.nn.sigmoid(s @ p["conv2_w"] + p["conv2_b"])
+    return x * s
+
+
+def _se_res2net(x: jnp.ndarray, p: dict, dilation: int, scale: int) -> jnp.ndarray:
+    h = _tdnn(x, p["tdnn1"])
+    h = _res2net(h, p["res2net"], scale, dilation)
+    h = _tdnn(h, p["tdnn2"])
+    h = _se_block(h, p["se"])
+    return h + x
+
+
+def _asp(x: jnp.ndarray, p: dict) -> jnp.ndarray:
+    """Attentive statistics pooling: [B, T, C] -> [B, 2C]."""
+    mean = x.mean(axis=1, keepdims=True)
+    std = jnp.sqrt(((x - mean) ** 2).mean(axis=1, keepdims=True) + 1e-5)
+    t = x.shape[1]
+    attn_in = jnp.concatenate(
+        [x, jnp.broadcast_to(mean, x.shape), jnp.broadcast_to(std, x.shape)], axis=-1
+    )
+    a = _tdnn(attn_in, p["tdnn"])
+    a = jnp.tanh(a)
+    a = a @ p["conv_w"] + p["conv_b"]
+    a = jax.nn.softmax(a, axis=1)  # over time
+    w_mean = (x * a).sum(axis=1)
+    w_std = jnp.sqrt((((x - w_mean[:, None, :]) ** 2) * a).sum(axis=1) + 1e-5)
+    return jnp.concatenate([w_mean, w_std], axis=-1)
+
+
+def forward(params: dict, cfg: SpeakerEncoderConfig, mel: jnp.ndarray) -> jnp.ndarray:
+    """Batched mel [B, n_mels, T] -> embeddings [B, enc_dim] (unnormalized)."""
+    x = jnp.swapaxes(mel.astype(jnp.float32), 1, 2)  # [B, T, n_mels]
+    x = _tdnn(x, params["initial"], cfg.enc_dilations[0])
+
+    se_outs = []
+    h = x
+    for i, block in enumerate(params["se_res2net"]):
+        h = _se_res2net(h, block, cfg.enc_dilations[i + 1], cfg.enc_res2net_scale)
+        se_outs.append(h)
+
+    h = jnp.concatenate(se_outs, axis=-1)
+    h = _tdnn(h, params["mfa"], cfg.enc_dilations[4])
+    pooled = _asp(h, params["asp"])  # [B, 2C]
+    return pooled @ params["fc_w"] + params["fc_b"]  # [B, enc_dim]
+
+
+class SpeakerEncoder:
+    """Host-facing wrapper: audio samples -> x-vector via jitted forward."""
+
+    def __init__(self, params: dict, cfg: SpeakerEncoderConfig):
+        self.params = params
+        self.cfg = cfg
+        from dataclasses import replace as dc_replace
+
+        self.mel = MelSpectrogram(
+            dc_replace(speaker_encoder_config(), n_mels=cfg.mel_dim)
+        )
+        self._fwd = jax.jit(partial(forward, cfg=cfg))
+
+    def encode(self, samples: np.ndarray) -> np.ndarray:
+        """24 kHz mono samples -> [enc_dim] float32 x-vector."""
+        mel = self.mel.compute_for_speaker_encoder(np.asarray(samples))  # [128, T]
+        out = self._fwd(self.params, mel=jnp.asarray(mel)[None])
+        return np.asarray(out[0])
+
+    # -- loading ------------------------------------------------------------
+
+    @classmethod
+    def from_weights(
+        cls, weights: dict, cfg: SpeakerEncoderConfig | None = None
+    ) -> "SpeakerEncoder":
+        cfg = cfg or SpeakerEncoderConfig()
+        p = "speaker_encoder"
+
+        def conv(key):  # [Cout, Cin, K] -> [K, Cin, Cout]
+            return (
+                jnp.asarray(weights[f"{key}.weight"], jnp.float32).transpose(2, 1, 0),
+                jnp.asarray(weights[f"{key}.bias"], jnp.float32),
+            )
+
+        def conv1x1(key):  # 1x1 conv as dense [Cin, Cout]
+            w = jnp.asarray(weights[f"{key}.weight"], jnp.float32)[:, :, 0].T
+            return w, jnp.asarray(weights[f"{key}.bias"], jnp.float32)
+
+        def tdnn(key):
+            w, b = conv(f"{key}.conv")
+            return {"w": w, "b": b}
+
+        se_blocks = []
+        for i in range(1, 4):
+            bp = f"{p}.blocks.{i}"
+            res2net = [
+                tdnn(f"{bp}.res2net_block.blocks.{j}")
+                for j in range(cfg.enc_res2net_scale - 1)
+            ]
+            c1w, c1b = conv1x1(f"{bp}.se_block.conv1")
+            c2w, c2b = conv1x1(f"{bp}.se_block.conv2")
+            se_blocks.append(
+                {
+                    "tdnn1": tdnn(f"{bp}.tdnn1"),
+                    "res2net": res2net,
+                    "tdnn2": tdnn(f"{bp}.tdnn2"),
+                    "se": {"conv1_w": c1w, "conv1_b": c1b, "conv2_w": c2w, "conv2_b": c2b},
+                }
+            )
+
+        asp_conv_w, asp_conv_b = conv1x1(f"{p}.asp.conv")
+        fc_w, fc_b = conv1x1(f"{p}.fc")
+        params = {
+            "initial": tdnn(f"{p}.blocks.0"),
+            "se_res2net": se_blocks,
+            "mfa": tdnn(f"{p}.mfa"),
+            "asp": {"tdnn": tdnn(f"{p}.asp.tdnn"), "conv_w": asp_conv_w, "conv_b": asp_conv_b},
+            "fc_w": fc_w,
+            "fc_b": fc_b,
+        }
+        return cls(params, cfg)
+
+    @classmethod
+    def from_random(
+        cls, key, cfg: SpeakerEncoderConfig | None = None
+    ) -> "SpeakerEncoder":
+        cfg = cfg or SpeakerEncoderConfig()
+        keys = iter(jax.random.split(key, 64))
+
+        def rnd(shape, scale=0.05):
+            return jax.random.normal(next(keys), shape, jnp.float32) * scale
+
+        def tdnn(cin, cout, k):
+            return {"w": rnd((k, cin, cout)), "b": jnp.zeros((cout,), jnp.float32)}
+
+        ch = cfg.enc_channels
+        ks = cfg.enc_kernel_sizes
+        chunk = ch[1] // cfg.enc_res2net_scale
+        se_blocks = []
+        for i in range(1, 4):
+            se_blocks.append(
+                {
+                    "tdnn1": tdnn(ch[i], ch[i], 1),
+                    "res2net": [
+                        tdnn(chunk, chunk, ks[i]) for _ in range(cfg.enc_res2net_scale - 1)
+                    ],
+                    "tdnn2": tdnn(ch[i], ch[i], 1),
+                    "se": {
+                        "conv1_w": rnd((ch[i], cfg.enc_se_channels)),
+                        "conv1_b": jnp.zeros((cfg.enc_se_channels,), jnp.float32),
+                        "conv2_w": rnd((cfg.enc_se_channels, ch[i])),
+                        "conv2_b": jnp.zeros((ch[i],), jnp.float32),
+                    },
+                }
+            )
+        params = {
+            "initial": tdnn(cfg.mel_dim, ch[0], ks[0]),
+            "se_res2net": se_blocks,
+            "mfa": tdnn(sum(ch[1:4]), ch[4], ks[4]),
+            "asp": {
+                "tdnn": tdnn(ch[4] * 3, cfg.enc_attention_channels, 1),
+                "conv_w": rnd((cfg.enc_attention_channels, ch[4])),
+                "conv_b": jnp.zeros((ch[4],), jnp.float32),
+            },
+            "fc_w": rnd((ch[4] * 2, cfg.enc_dim)),
+            "fc_b": jnp.zeros((cfg.enc_dim,), jnp.float32),
+        }
+        return cls(params, cfg)

@@ -1,0 +1,111 @@
+"""Mimi encoder parity test against the HF transformers implementation.
+
+Builds a small random-initialized HF MimiModel, runs its encode path, then
+loads the same weights into our JAX encoder and asserts identical codes.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from qwen3_tts_tpu.models.codec.encoder import Encoder12Hz, MimiEncoderConfig
+
+
+def small_hf_mimi():
+    from transformers.models.mimi.configuration_mimi import MimiConfig
+    from transformers.models.mimi.modeling_mimi import MimiModel
+
+    cfg = MimiConfig(
+        sampling_rate=24000,
+        frame_rate=1000.0,  # encodec rate 24000/12 = 2000 -> stride-2 downsample
+        audio_channels=1,
+        num_filters=8,
+        upsampling_ratios=[4, 3],
+        kernel_size=7,
+        last_kernel_size=3,
+        residual_kernel_size=3,
+        num_residual_layers=1,
+        dilation_growth_rate=2,
+        compress=2,
+        hidden_size=16,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        num_key_value_heads=2,
+        head_dim=8,
+        intermediate_size=32,
+        norm_eps=1e-5,
+        rope_theta=10000.0,
+        sliding_window=50,
+        codebook_size=16,
+        codebook_dim=8,
+        vector_quantization_hidden_dimension=8,
+        num_quantizers=4,
+        num_semantic_quantizers=1,
+        upsample_groups=16,
+        use_cache=False,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    model = MimiModel(cfg).eval()
+    # Give codebooks non-degenerate entries (init is zeros).
+    with torch.no_grad():
+        for rvq in (
+            model.quantizer.semantic_residual_vector_quantizer,
+            model.quantizer.acoustic_residual_vector_quantizer,
+        ):
+            for layer in rvq.layers:
+                layer.codebook.embed_sum.normal_()
+                layer.codebook.cluster_usage.fill_(1.0)
+    return cfg, model
+
+
+def test_encoder_matches_hf_mimi():
+    cfg, model = small_hf_mimi()
+    ours_cfg = MimiEncoderConfig(
+        num_filters=8,
+        ratios=(4, 3),
+        hidden_size=16,
+        num_layers=2,
+        num_heads=2,
+        head_dim=8,
+        intermediate_size=32,
+        sliding_window=50,
+        codebook_size=16,
+        codebook_dim=8,
+        num_quantizers=4,
+    )
+
+    # Qwen speech-tokenizer layout: everything under an extra `encoder.` prefix.
+    weights = {
+        "encoder." + k: v.detach().numpy() for k, v in model.state_dict().items()
+    }
+    enc = Encoder12Hz.from_weights(weights, ours_cfg)
+
+    rs = np.random.RandomState(0)
+    audio = (rs.randn(241) * 0.2).astype(np.float32)
+
+    with torch.no_grad():
+        hf_codes = model.encode(torch.from_numpy(audio)[None, None, :]).audio_codes
+    hf_codes = hf_codes[0].numpy().T  # [T, K]
+
+    got = enc.encode(audio)
+    assert got.shape == hf_codes.shape, (got.shape, hf_codes.shape)
+    mismatch = (got != hf_codes).mean()
+    assert mismatch == 0.0, f"code mismatch fraction {mismatch}: {got} vs {hf_codes}"
+
+
+def test_encoder_frame_rate():
+    """Default config: 1920 samples per 12.5 Hz frame."""
+    cfg, model = small_hf_mimi()
+    weights = {"encoder." + k: v.detach().numpy() for k, v in model.state_dict().items()}
+    ours_cfg = MimiEncoderConfig(
+        num_filters=8, ratios=(4, 3), hidden_size=16, num_layers=2, num_heads=2,
+        head_dim=8, intermediate_size=32, sliding_window=50, codebook_size=16,
+        codebook_dim=8, num_quantizers=4,
+    )
+    enc = Encoder12Hz.from_weights(weights, ours_cfg)
+    # total downsample = 4*3*2 = 24 samples/frame for this small config
+    codes = enc.encode(np.zeros(240, np.float32))
+    assert codes.shape == (10, 4)

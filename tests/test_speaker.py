@@ -1,0 +1,89 @@
+"""Speaker encoder tests: reflect-same conv vs torch oracle, ASP math, e2e shape."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3_tts_tpu.models import speaker
+from qwen3_tts_tpu.models.config import SpeakerEncoderConfig
+
+torch = pytest.importorskip("torch")
+
+
+def test_reflect_same_conv_matches_torch():
+    rs = np.random.RandomState(0)
+    for cin, cout, k, dil in [(4, 8, 5, 1), (8, 4, 3, 3), (6, 6, 3, 4), (5, 7, 1, 1)]:
+        x = rs.randn(1, 20, cin).astype(np.float32)
+        w = rs.randn(cout, cin, k).astype(np.float32)
+        b = rs.randn(cout).astype(np.float32)
+
+        conv = torch.nn.Conv1d(
+            cin, cout, k, dilation=dil, padding="same", padding_mode="reflect"
+        )
+        conv.weight.data = torch.from_numpy(w)
+        conv.bias.data = torch.from_numpy(b)
+        want = conv(torch.from_numpy(x.transpose(0, 2, 1))).detach().numpy()
+
+        got = speaker._reflect_same_conv(
+            jnp.asarray(x), jnp.asarray(w.transpose(2, 1, 0)), jnp.asarray(b), dil
+        )
+        np.testing.assert_allclose(
+            np.asarray(got).transpose(0, 2, 1), want, atol=1e-5
+        ), f"k={k} dil={dil}"
+
+
+def test_asp_uniform_attention_equals_stats():
+    """With zeroed attention weights (softmax -> uniform), ASP reduces to
+    plain mean/std pooling."""
+    rs = np.random.RandomState(1)
+    c, t = 6, 10
+    x = jnp.asarray(rs.randn(1, t, c).astype(np.float32))
+    p = {
+        "tdnn": {"w": jnp.zeros((1, 3 * c, 4)), "b": jnp.zeros((4,))},
+        "conv_w": jnp.zeros((4, c)),
+        "conv_b": jnp.zeros((c,)),
+    }
+    out = np.asarray(speaker._asp(x, p))[0]
+    xn = np.asarray(x)[0]
+    np.testing.assert_allclose(out[:c], xn.mean(0), atol=1e-5)
+    np.testing.assert_allclose(out[c:], np.sqrt(xn.var(0) + 1e-5), atol=1e-5)
+
+
+def test_res2net_first_chunk_passthrough():
+    rs = np.random.RandomState(2)
+    scale, chunk, t = 4, 3, 8
+    x = jnp.asarray(rs.randn(1, t, scale * chunk).astype(np.float32))
+    blocks = [
+        {"w": jnp.asarray(rs.randn(3, chunk, chunk).astype(np.float32) * 0.1),
+         "b": jnp.zeros((chunk,))}
+        for _ in range(scale - 1)
+    ]
+    out = np.asarray(speaker._res2net(x, blocks, scale, 1))
+    np.testing.assert_array_equal(out[..., :chunk], np.asarray(x)[..., :chunk])
+    assert out.shape == x.shape
+
+
+SMALL_CFG = SpeakerEncoderConfig(
+    mel_dim=16,
+    enc_dim=32,
+    enc_channels=(24, 24, 24, 24, 48),
+    enc_kernel_sizes=(5, 3, 3, 3, 1),
+    enc_dilations=(1, 2, 3, 4, 1),
+    enc_attention_channels=8,
+    enc_res2net_scale=4,
+    enc_se_channels=8,
+)
+
+
+def test_encoder_end_to_end():
+    enc = speaker.SpeakerEncoder.from_random(jax.random.PRNGKey(0), SMALL_CFG)
+    samples = np.sin(np.linspace(0, 300, 24000)).astype(np.float32)
+    emb = enc.encode(samples)
+    assert emb.shape == (32,)
+    assert np.isfinite(emb).all()
+    # deterministic
+    np.testing.assert_array_equal(emb, enc.encode(samples))
+    # different audio -> different embedding
+    emb2 = enc.encode(np.cos(np.linspace(0, 700, 24000)).astype(np.float32))
+    assert not np.allclose(emb, emb2)
