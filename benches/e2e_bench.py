@@ -1,0 +1,154 @@
+"""Full end-to-end benchmark suite (reference: benches/e2e_bench.rs).
+
+Measures, per corpus text (short ~13 / medium ~53 / long ~115 words):
+  * non-streaming RTF, frames/s, per-stage breakdown,
+  * streaming TTFA (time to first audio chunk) and streaming RTF,
+  * peak RSS.
+
+Run:  python benches/e2e_bench.py [--ckpt DIR] [--size 1.7B] [--json OUT]
+Without a checkpoint, uses synthetic weights at real dimensions and pins
+generation length (timing is weight-independent).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import resource
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+CORPUS = {
+    "short": "The quick brown fox jumps over the lazy dog near the river bank.",
+    "medium": (
+        "In a quiet village nestled between rolling hills and dense forests, "
+        "the morning sun cast long shadows across cobblestone streets while "
+        "merchants prepared their stalls for the weekly market, arranging "
+        "fresh produce, handwoven textiles, and fragrant spices as children "
+        "played near the ancient stone fountain at the center of the square."
+    ),
+    "long": (
+        "Throughout history, the relationship between technological progress "
+        "and human society has been marked by cycles of disruption and "
+        "adaptation, where each major innovation, from the printing press to "
+        "the steam engine to the integrated circuit, initially provoked "
+        "anxiety and resistance before ultimately becoming woven into the "
+        "fabric of daily life. The same pattern repeats today as artificial "
+        "intelligence systems transform how we work, communicate, and create, "
+        "raising familiar questions about labor, authenticity, and control "
+        "while simultaneously opening possibilities that previous generations "
+        "could scarcely have imagined. What remains constant across these "
+        "transformations is the human capacity to absorb new tools, to bend "
+        "them toward existing needs and desires, and eventually to forget "
+        "that life was ever organized differently, a cycle of forgetting that "
+        "is perhaps the truest measure of a technology's success."
+    ),
+}
+
+# Pinned frame counts per corpus when running with synthetic weights
+# (approximate natural speech durations at ~2.5 words/s, 12.5 frames/s).
+PINNED_FRAMES = {"short": 65, "medium": 135, "long": 300}
+
+
+def peak_rss_mb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--size", default="1.7B", choices=["0.6B", "1.7B"])
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--warmup", type=int, default=1)
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--chunk-frames", type=int, default=10)
+    args = ap.parse_args()
+
+    from qwen3_tts_tpu import SynthesisOptions, tokens as T
+    from qwen3_tts_tpu.models.config import config_for_variant
+    from qwen3_tts_tpu.pipeline import Qwen3TTS
+
+    if args.ckpt:
+        model = Qwen3TTS.from_pretrained(args.ckpt)
+        synthetic = False
+    else:
+        model = Qwen3TTS.from_random(config_for_variant(args.size, "custom_voice"))
+        synthetic = True
+
+        class WordTokenizer:
+            def encode(self, text):
+                return [37 + (hash(w) % 15000) for w in text.split()]
+
+        model.tokenizer = WordTokenizer()
+
+    results = {}
+    for name, text in CORPUS.items():
+        frames = PINNED_FRAMES[name]
+        opts = SynthesisOptions(
+            max_length=frames,
+            min_new_tokens=frames if synthetic else 2,
+            seed=42,
+        )
+
+        # non-streaming
+        for _ in range(args.warmup):
+            model.synthesize_with_timing(text, "ryan", "english", opts)
+        rtfs, gen_ms, frames_out = [], [], 0
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            audio, timing = model.synthesize_with_timing(text, "ryan", "english", opts)
+            wall = time.perf_counter() - t0
+            rtfs.append(wall / (len(audio) / T.OUTPUT_SAMPLE_RATE))
+            gen_ms.append(timing.generation_ms)
+            frames_out = timing.generation_frames
+
+        # streaming TTFA
+        sopts = SynthesisOptions(
+            max_length=frames,
+            min_new_tokens=frames if synthetic else 2,
+            seed=42,
+            chunk_frames=args.chunk_frames,
+        )
+        ttfas, stream_rtfs = [], []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            session = model.synthesize_streaming(text, "ryan", "english", sopts)
+            total_samples = 0
+            ttfa = None
+            for chunk in session:
+                if ttfa is None:
+                    ttfa = time.perf_counter() - t0
+                total_samples += len(chunk)
+            wall = time.perf_counter() - t0
+            ttfas.append(ttfa)
+            stream_rtfs.append(wall / (total_samples / T.OUTPUT_SAMPLE_RATE))
+
+        results[name] = {
+            "frames": frames_out,
+            "audio_s": round(frames_out * T.SAMPLES_PER_FRAME / T.OUTPUT_SAMPLE_RATE, 2),
+            "rtf": round(statistics.mean(rtfs), 4),
+            "rtf_min": round(min(rtfs), 4),
+            "frame_ms": round(statistics.mean(gen_ms) / max(frames_out, 1), 2),
+            "tok_per_s": round(frames_out / (statistics.mean(gen_ms) / 1e3), 1),
+            "streaming_rtf": round(statistics.mean(stream_rtfs), 4),
+            "ttfa_ms": round(statistics.mean(ttfas) * 1e3, 1),
+        }
+        print(f"{name}: {results[name]}", file=sys.stderr)
+
+    summary = {
+        "model": args.ckpt or f"synthetic-{args.size}",
+        "corpus": results,
+        "peak_rss_mb": round(peak_rss_mb(), 1),
+    }
+    print(json.dumps(summary, indent=2))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(summary, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -50,8 +50,15 @@ class AudioBuffer:
 
 
 def save_wav(path: str | Path, samples: np.ndarray, sample_rate: int) -> None:
-    """Write mono PCM16 WAV: clamp to [-1, 1], scale by 32767 (io.rs:144-165)."""
+    """Write mono PCM16 WAV: clamp to [-1, 1], scale by 32767 (io.rs:144-165).
+
+    Uses the native C++ writer when built; stdlib ``wave`` fallback below.
+    """
+    from .. import native
+
     samples = np.asarray(samples, dtype=np.float32).reshape(-1)
+    if native.wav_write_pcm16(str(path), samples, int(sample_rate)):
+        return
     pcm = (np.clip(samples, -1.0, 1.0) * 32767.0).astype(np.int16)
     with wave.open(str(path), "wb") as w:
         w.setnchannels(1)

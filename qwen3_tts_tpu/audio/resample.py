@@ -43,7 +43,17 @@ def resample_to_24k(audio: AudioBuffer) -> AudioBuffer:
 def resample_array(
     samples: np.ndarray, src_rate: int, dst_rate: int, sinc_len: int = 128
 ) -> np.ndarray:
-    """Core resampler: float32 in, float32 out, length round(n * dst/src)."""
+    """Core resampler: float32 in, float32 out, length round(n * dst/src).
+
+    Uses the native C++ kernel when built (qwen3_tts_tpu.native); this numpy
+    implementation is the semantically-identical fallback.
+    """
+    from .. import native
+
+    fast = native.resample_sinc(samples, src_rate, dst_rate, sinc_len)
+    if fast is not None:
+        return fast
+
     samples = np.asarray(samples, dtype=np.float64).reshape(-1)
     n_in = len(samples)
     n_out = int(round(n_in * dst_rate / src_rate))

@@ -49,7 +49,14 @@ def pcg_uniform_sequence(seed: int, n: int) -> np.ndarray:
 
     Matches rand_f32: ``(output as f32) / (u32::MAX as f32)``. Note that
     u32::MAX rounds to 2^32 in float32, so the divisor is 4294967296.0f.
+    Dispatches to the native C++ kernel when built (bit-identical).
     """
+    from .. import native
+
+    fast = native.pcg_uniforms(seed, n)
+    if fast is not None:
+        return fast
+
     out = np.empty(n, dtype=np.float32)
     state = pcg_init_state(seed)
     for i in range(n):
