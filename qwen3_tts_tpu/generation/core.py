@@ -108,9 +108,12 @@ def generate_frames(
     def body(s: GenState) -> GenState:
         semantic_embed = talker.embed_codec(talker_params, s.token)[None, None, :]
 
-        codes = cp.predict_acoustic_codes(
-            cp_params, cpcfg, s.last_hidden, semantic_embed
+        predict = (
+            cp.predict_acoustic_codes_jacobi
+            if cpcfg.decode_mode == "jacobi"
+            else cp.predict_acoustic_codes
         )
+        codes = predict(cp_params, cpcfg, s.last_hidden, semantic_embed)
         frame = jnp.concatenate([s.token[None], codes], axis=0)
         frames = jax.lax.dynamic_update_slice(s.frames, frame[None, :], (s.frame_idx, 0))
 

@@ -85,6 +85,61 @@ def predict_acoustic_codes(
     return jnp.concatenate([code0[None], rest], axis=0)
 
 
+def predict_acoustic_codes_jacobi(
+    params: dict,
+    cfg: CodePredictorConfig,
+    talker_hidden: jnp.ndarray,
+    semantic_embed: jnp.ndarray,
+    max_iters: int = 16,
+) -> jnp.ndarray:
+    """Greedy fixed-point (Jacobi) decoding of all 15 acoustic codes.
+
+    The sequential loop reads the 5-layer weights 15 times per frame and is
+    purely HBM-bandwidth-bound. Instead, iterate the *whole* 16-position
+    frame as one batched causal forward and repeat until the code vector is
+    a fixed point. Because position g's logits depend only on positions
+    < g (causal attention, greedy argmax), after k iterations the first k
+    codes equal the sequential result — so the fixed point IS the greedy
+    sequence and the loop terminates in at most num_acoustic iterations,
+    typically far fewer. One weight pass per iteration instead of 15.
+    (Lookahead/Jacobi decoding, cf. arXiv:2402.02057.)
+    """
+    stack_cfg = cfg.layer_stack()
+    n = cfg.num_acoustic
+    prefix = jnp.concatenate([talker_hidden, semantic_embed], axis=1)
+    prefix = _maybe_project(params, prefix)  # [1, 2, hidden]
+    tables = params["codec_embeddings"]  # [15, vocab, embed_dim]
+    heads = params["lm_heads"]  # [15, hidden, vocab]
+
+    def iteration(codes: jnp.ndarray) -> jnp.ndarray:
+        # Positions 2..16 embed codes 0..13 with their group tables.
+        embs = jnp.take_along_axis(
+            tables[: n - 1], codes[: n - 1, None, None], axis=1
+        )[:, 0, :]  # [14, embed_dim]
+        embs = _maybe_project(params, embs[None])  # [1, 14, hidden]
+        seq = jnp.concatenate([prefix, embs], axis=1)  # [1, 16, hidden]
+        h = nn.run_layer_stack_nocache(params["layers"], seq, stack_cfg)
+        h = nn.rms_norm(h, params["norm"], cfg.rms_norm_eps)
+        # Position 1+g predicts code g with head g.
+        hg = h[0, 1 : 1 + n, :]  # [15, hidden]
+        logits = jnp.einsum("gh,ghv->gv", hg, heads)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def cond(carry):
+        codes, prev, it = carry
+        return jnp.any(codes != prev) & (it < max_iters)
+
+    def body(carry):
+        codes, _, it = carry
+        return iteration(codes), codes, it + 1
+
+    init = iteration(jnp.zeros((n,), jnp.int32))
+    codes, _, _ = jax.lax.while_loop(
+        cond, body, (init, jnp.full((n,), -1, jnp.int32), jnp.int32(1))
+    )
+    return codes
+
+
 def acoustic_embedding_sum(params: dict, codes: jnp.ndarray) -> jnp.ndarray:
     """Sum of per-group embeddings of a frame's acoustic codes.
 

@@ -77,6 +77,12 @@ class CodePredictorConfig:
     # small_to_mtp_projection bridges codec embeddings into the CP stack
     # (1.7B models: 2048 -> 1024).
     codec_embed_dim: int | None = None
+    # "sequential": 15 cached single-token steps (default). "jacobi":
+    # batched fixed-point greedy decode — exact, one weight pass per
+    # iteration; faster only when codes converge in few iterations (real
+    # trained weights condition strongly on the talker hidden state), slower
+    # on unstructured/random weights. Benchmark per checkpoint.
+    decode_mode: str = "sequential"
 
     @property
     def embed_dim(self) -> int:

@@ -213,6 +213,47 @@ def decoder_layer(
     return h + mlp_out, cache_k, cache_v
 
 
+def run_layer_stack_nocache(
+    stacked_params: dict,
+    x: jnp.ndarray,
+    cfg: LayerStackConfig,
+) -> jnp.ndarray:
+    """Causal self-attention over a short full sequence with no KV cache.
+
+    Used by the code predictor's Jacobi decoder where the whole 16-token
+    frame is recomputed per iteration — cheaper than cache bookkeeping at
+    this length.
+    """
+    s = x.shape[1]
+    inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta)
+    positions = jnp.arange(s, dtype=jnp.float32)
+    cos, sin = rope_cos_sin(positions, inv_freq)
+    mask = jnp.tril(jnp.ones((s, s), bool))[None, None, None]
+
+    def body(h, layer_params):
+        b = h.shape[0]
+        q = (h_norm := rms_norm(h, layer_params["input_ln"], cfg.rms_norm_eps)) @ layer_params["q_proj"]
+        k = h_norm @ layer_params["k_proj"]
+        v = h_norm @ layer_params["v_proj"]
+        q = rms_norm(q.reshape(b, s, cfg.num_heads, cfg.head_dim), layer_params["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim), layer_params["k_norm"], cfg.rms_norm_eps)
+        v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        attn = gqa_attention(q, k, v, mask, 1.0 / cfg.head_dim**0.5)
+        h = h + attn.reshape(b, s, cfg.num_heads * cfg.head_dim) @ layer_params["o_proj"]
+        mlp_out = swiglu(
+            rms_norm(h, layer_params["post_ln"], cfg.rms_norm_eps),
+            layer_params["gate_proj"],
+            layer_params["up_proj"],
+            layer_params["down_proj"],
+        )
+        return h + mlp_out, None
+
+    h, _ = jax.lax.scan(body, x, stacked_params)
+    return h
+
+
 def run_layer_stack(
     stacked_params: dict,
     x: jnp.ndarray,
