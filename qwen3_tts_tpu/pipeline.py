@@ -44,7 +44,12 @@ from .models.config import (
 )
 from .ops import nn, rng, sampling
 from .tokenizer import TextTokenizer
+from .utils import compile_cache
 from .utils.bucketing import next_bucket
+
+# Persistent XLA compile cache: the large fused programs compile once per
+# machine, not once per process.
+compile_cache.enable()
 
 FRAME_BUCKETS = (64, 128, 256, 512, 1024, 2048)
 TEXT_BUCKET = 32
@@ -607,11 +612,12 @@ class StreamingSession:
     def run_to_completion(self) -> np.ndarray:
         """Generate every remaining frame; returns [n, 16] int32."""
         self._advance(self.options.max_length)
-        n = int(self.state.frame_idx)
-        frames = np.asarray(jax.device_get(self.state.frames[:n]))
+        # One bulk device_get for everything the host needs.
+        frames, n = jax.device_get((self.state.frames, self.state.frame_idx))
+        n = int(n)
         self.frames_emitted = n
         self._exhausted = True
-        return frames
+        return np.asarray(frames[:n])
 
     def next_chunk(self) -> AudioBuffer | None:
         """Generate + decode the next ~chunk_frames frames, or None when done."""
@@ -621,12 +627,16 @@ class StreamingSession:
             self.frames_emitted + self.options.chunk_frames, self.options.max_length
         )
         self._advance(target)
-        n = int(self.state.frame_idx)
-        done = bool(self.state.done) or n >= self.options.max_length
+        # Single host sync per chunk: frames buffer + counters together.
+        frames, n, done = jax.device_get(
+            (self.state.frames, self.state.frame_idx, self.state.done)
+        )
+        n = int(n)
+        done = bool(done) or n >= self.options.max_length
         if n <= self.frames_emitted:
             self._exhausted = True
             return None
-        new = np.asarray(jax.device_get(self.state.frames[self.frames_emitted : n]))
+        new = np.asarray(frames[self.frames_emitted : n])
         self.frames_emitted = n
         if done:
             self._exhausted = True
