@@ -114,6 +114,9 @@ def main():
             chunk_frames=args.chunk_frames,
         )
         ttfas, stream_rtfs = [], []
+        for _ in range(args.warmup):
+            for _chunk in model.synthesize_streaming(text, "ryan", "english", sopts):
+                pass
         for _ in range(args.iters):
             t0 = time.perf_counter()
             session = model.synthesize_streaming(text, "ryan", "english", sopts)
