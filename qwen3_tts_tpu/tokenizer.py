@@ -111,6 +111,16 @@ class TextTokenizer:
         ids.extend(self.encode("<|im_start|>assistant\n"))
         return ids
 
+    def encode_batch(self, texts: list[str]) -> list[list[int]]:
+        return [e.ids for e in self.tokenizer.encode_batch(texts, add_special_tokens=False)]
+
+    def encode_padded(self, text: str, max_length: int) -> list[int]:
+        """Truncate or left-pad with the pad token (text.rs:284-298)."""
+        ids = self.encode(text)
+        if len(ids) > max_length:
+            return ids[:max_length]
+        return [self.pad_token_id] * (max_length - len(ids)) + ids
+
     def decode(self, ids: list[int]) -> str:
         return self.tokenizer.decode(list(ids), skip_special_tokens=True)
 
