@@ -114,6 +114,33 @@ def load_code_predictor_params(
     return params
 
 
+def fuse_layer_params(stacked: dict) -> dict:
+    """Single-chip optimization: concat q|k|v and gate|up projections.
+
+    One [hidden, (H+2KV)*D] matmul replaces three per attention block and one
+    [hidden, 2*inter] replaces two per MLP — fewer kernel launches and HBM
+    passes in the latency-bound decode loop. The unfused tree stays canonical
+    for tensor-parallel sharding (fused axes don't split evenly across tp).
+    """
+    fused = dict(stacked)
+    fused["qkv_proj"] = jnp.concatenate(
+        [stacked["q_proj"], stacked["k_proj"], stacked["v_proj"]], axis=-1
+    )
+    fused["gateup_proj"] = jnp.concatenate(
+        [stacked["gate_proj"], stacked["up_proj"]], axis=-1
+    )
+    for key in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"):
+        del fused[key]
+    return fused
+
+
+def fuse_model_params(params: dict) -> dict:
+    """Apply fuse_layer_params to a talker/code-predictor param tree."""
+    out = dict(params)
+    out["layers"] = fuse_layer_params(params["layers"])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Random init (tests / synthetic benchmarking)
 # ---------------------------------------------------------------------------

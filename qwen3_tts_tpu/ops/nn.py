@@ -110,6 +110,17 @@ def swiglu(x: jnp.ndarray, gate_w: jnp.ndarray, up_w: jnp.ndarray, down_w: jnp.n
     return (gate * (x @ up_w)) @ down_w
 
 
+def swiglu_layer(layer_params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """SwiGLU using either fused [gate|up] or separate projections."""
+    if "gateup_proj" in layer_params:
+        gu = x @ layer_params["gateup_proj"]
+        inter = gu.shape[-1] // 2
+        return (jax.nn.silu(gu[..., :inter]) * gu[..., inter:]) @ layer_params["down_proj"]
+    return swiglu(
+        x, layer_params["gate_proj"], layer_params["up_proj"], layer_params["down_proj"]
+    )
+
+
 def gqa_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -155,9 +166,23 @@ def _attention_block(
     ``mask`` hiding unwritten positions.
     """
     b, s, _ = x.shape
-    q = (x @ layer_params["q_proj"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
-    k = (x @ layer_params["k_proj"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-    v = (x @ layer_params["v_proj"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    q_dim = cfg.num_heads * cfg.head_dim
+    kv_dim = cfg.num_kv_heads * cfg.head_dim
+    if "qkv_proj" in layer_params:
+        # Fused single-pass projection (see weights.fuse_layer_params).
+        qkv = x @ layer_params["qkv_proj"]
+        q, k, v = (
+            qkv[..., :q_dim],
+            qkv[..., q_dim : q_dim + kv_dim],
+            qkv[..., q_dim + kv_dim :],
+        )
+    else:
+        q = x @ layer_params["q_proj"]
+        k = x @ layer_params["k_proj"]
+        v = x @ layer_params["v_proj"]
+    q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
+    k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
 
     # Per-head RMSNorm on Q and K (Qwen3 QK-norm).
     q = rms_norm(q, layer_params["q_norm"], cfg.rms_norm_eps)
@@ -204,11 +229,8 @@ def decoder_layer(
         mask,
     )
     h = x + attn_out
-    mlp_out = swiglu(
-        rms_norm(h, layer_params["post_ln"], cfg.rms_norm_eps),
-        layer_params["gate_proj"],
-        layer_params["up_proj"],
-        layer_params["down_proj"],
+    mlp_out = swiglu_layer(
+        layer_params, rms_norm(h, layer_params["post_ln"], cfg.rms_norm_eps)
     )
     return h + mlp_out, cache_k, cache_v
 
@@ -230,11 +252,21 @@ def run_layer_stack_nocache(
     cos, sin = rope_cos_sin(positions, inv_freq)
     mask = jnp.tril(jnp.ones((s, s), bool))[None, None, None]
 
+    q_dim = cfg.num_heads * cfg.head_dim
+    kv_dim = cfg.num_kv_heads * cfg.head_dim
+
     def body(h, layer_params):
         b = h.shape[0]
-        q = (h_norm := rms_norm(h, layer_params["input_ln"], cfg.rms_norm_eps)) @ layer_params["q_proj"]
-        k = h_norm @ layer_params["k_proj"]
-        v = h_norm @ layer_params["v_proj"]
+        h_norm = rms_norm(h, layer_params["input_ln"], cfg.rms_norm_eps)
+        if "qkv_proj" in layer_params:
+            qkv = h_norm @ layer_params["qkv_proj"]
+            q = qkv[..., :q_dim]
+            k = qkv[..., q_dim : q_dim + kv_dim]
+            v = qkv[..., q_dim + kv_dim :]
+        else:
+            q = h_norm @ layer_params["q_proj"]
+            k = h_norm @ layer_params["k_proj"]
+            v = h_norm @ layer_params["v_proj"]
         q = rms_norm(q.reshape(b, s, cfg.num_heads, cfg.head_dim), layer_params["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim), layer_params["k_norm"], cfg.rms_norm_eps)
         v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
@@ -242,11 +274,8 @@ def run_layer_stack_nocache(
         k = apply_rope(k, cos, sin)
         attn = gqa_attention(q, k, v, mask, 1.0 / cfg.head_dim**0.5)
         h = h + attn.reshape(b, s, cfg.num_heads * cfg.head_dim) @ layer_params["o_proj"]
-        mlp_out = swiglu(
-            rms_norm(h, layer_params["post_ln"], cfg.rms_norm_eps),
-            layer_params["gate_proj"],
-            layer_params["up_proj"],
-            layer_params["down_proj"],
+        mlp_out = swiglu_layer(
+            layer_params, rms_norm(h, layer_params["post_ln"], cfg.rms_norm_eps)
         )
         return h + mlp_out, None
 
