@@ -50,6 +50,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Transcript of --ref-audio for ICL voice cloning")
     p.add_argument("--x-vector-only", action="store_true",
                    help="Voice cloning with speaker embedding only (no ICL)")
+    p.add_argument("--icl-sequential", action="store_true",
+                   help="Sequential [text || codec] ICL prompt layout (mlx-audio variant)")
+    p.add_argument("--dump-codes", action="store_true",
+                   help="Write the raw [T,16] int32 code matrix next to the WAV")
+    p.add_argument("--compare", default=None, metavar="DIR",
+                   help="Compare codes/audio against reference dumps in DIR "
+                        "(codes_seed{seed}.bin int32 [T,16], audio_seed{seed}.bin f32)")
     p.add_argument("--streaming", action="store_true",
                    help="Stream chunks; prints TTFA and per-chunk timing")
     p.add_argument("--chunk-frames", type=int, default=10)
@@ -97,6 +104,7 @@ def main(argv: list[str] | None = None) -> int:
         min_new_tokens=args.min_new_tokens,
         chunk_frames=args.chunk_frames,
         seed=args.seed,
+        icl_sequential=args.icl_sequential,
     )
 
     print(f"Loading model from {args.model_dir} ...", file=sys.stderr)
@@ -156,6 +164,11 @@ def main(argv: list[str] | None = None) -> int:
 
         audio = AudioBuffer(np.concatenate(chunks) if chunks else np.zeros(0), 24000)
         n_frames = session.frames_generated
+    elif args.dump_codes or args.compare:
+        session = model.synthesize_streaming(args.text, args.speaker, args.language, options)
+        frames = session.run_to_completion()
+        audio = model.decode_codes(frames)
+        n_frames = frames.shape[0]
     else:
         audio, timing = model.synthesize_with_timing(
             args.text, args.speaker, args.language, options
@@ -181,6 +194,33 @@ def main(argv: list[str] | None = None) -> int:
     )
     out_path.parent.mkdir(parents=True, exist_ok=True)
     save_wav(out_path, audio.samples, audio.sample_rate)
+
+    if args.dump_codes or args.compare:
+        import numpy as np
+
+        codes_path = out_path.with_suffix(".codes.bin")
+        frames.astype("int32").tofile(codes_path)
+        print(f"Wrote {codes_path} ({frames.shape})", file=sys.stderr)
+
+        if args.compare:
+            ref_dir = Path(args.compare)
+            ref_codes_path = ref_dir / f"codes_seed{args.seed}.bin"
+            ref_audio_path = ref_dir / f"audio_seed{args.seed}.bin"
+            if ref_codes_path.exists():
+                ref_codes = np.fromfile(ref_codes_path, dtype=np.int32).reshape(-1, 16)
+                n = min(len(ref_codes), len(frames))
+                mismatch = (ref_codes[:n] != frames[:n]).mean()
+                print(
+                    f"compare codes: {len(frames)} vs {len(ref_codes)} frames, "
+                    f"mismatch fraction {mismatch:.4f} over first {n}",
+                    file=sys.stderr,
+                )
+            if ref_audio_path.exists():
+                ref_audio = np.fromfile(ref_audio_path, dtype=np.float32)
+                n = min(len(ref_audio), len(audio.samples))
+                diff = float(np.abs(ref_audio[:n] - audio.samples[:n]).max())
+                print(f"compare audio: max|Δ| {diff:.2e} over first {n} samples",
+                      file=sys.stderr)
 
     dur = len(audio) / audio.sample_rate
     rtf = wall / dur if dur > 0 else float("inf")

@@ -156,7 +156,7 @@ def prefill_voice_clone_xvector(
 
 @partial(
     jax.jit,
-    static_argnames=("tcfg", "scfg", "max_new_tokens"),
+    static_argnames=("tcfg", "scfg", "max_new_tokens", "sequential"),
     donate_argnames=("cache",),
 )
 def prefill_voice_clone_icl(
@@ -172,6 +172,7 @@ def prefill_voice_clone_icl(
     cache: nn.KVCache,
     uniforms: jnp.ndarray,
     max_new_tokens: int,
+    sequential: bool = False,
 ):
     base = talker.build_voice_clone_prompt(
         talker_params,
@@ -180,11 +181,18 @@ def prefill_voice_clone_icl(
         lang_id,
         icl_mode=True,
     )  # [1, 9, H]
-    icl_rows, trailing, trailing_len = talker.build_icl_rows(
-        talker_params, all_text_ids, n_text, codec_rows, n_codec
-    )
+    if sequential:
+        icl_rows, trailing, trailing_len = talker.build_icl_rows_sequential(
+            talker_params, all_text_ids, n_text, codec_rows, n_codec
+        )
+        icl_len = n_text + n_codec
+    else:
+        icl_rows, trailing, trailing_len = talker.build_icl_rows(
+            talker_params, all_text_ids, n_text, codec_rows, n_codec
+        )
+        icl_len = n_codec
     prompt = jnp.concatenate([base, icl_rows], axis=1)
-    prefill_len = base.shape[1] + n_codec
+    prefill_len = base.shape[1] + icl_len
     return _finish(
         talker_params,
         tcfg,

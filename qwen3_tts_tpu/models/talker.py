@@ -188,6 +188,40 @@ def build_icl_rows(
     return icl_rows, trailing, trailing_len
 
 
+def build_icl_rows_sequential(
+    params: dict,
+    all_text_ids: jnp.ndarray,  # [Tb] ref_text + target_text + tts_eos, padded
+    n_text: jnp.ndarray,
+    codec_rows: jnp.ndarray,  # [Cb, hidden] codec_bos + summed ref codec embeds
+    n_codec: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Non-streaming ICL layout (talker.rs:674-689, the mlx-audio variant).
+
+    Two sequential blocks instead of element-wise overlay:
+    ``[text + codec_pad (n_text rows) || codec + tts_pad (n_codec rows)]`` —
+    all text is consumed in the prefix, so trailing is just tts_pad.
+    Returns (icl_rows [1, Tb+Cb, hidden] right-padded with true length
+    n_text + n_codec, trailing [1, hidden] pad rows, trailing_len=0).
+    """
+    tb = all_text_ids.shape[0]
+    cb = codec_rows.shape[0]
+    text_emb = embed_text(params, all_text_ids)  # [Tb, hidden]
+    pad = embed_text(params, jnp.array([T.TTS_PAD], dtype=jnp.int32))[0]
+    codec_pad = embed_codec(params, jnp.array([T.CODEC_PAD], dtype=jnp.int32))[0]
+
+    text_block = text_emb + codec_pad  # [Tb, hidden]
+    codec_block = codec_rows + pad  # [Cb, hidden]
+
+    rows = jnp.zeros((tb + cb, text_block.shape[-1]), text_block.dtype)
+    rows = jax.lax.dynamic_update_slice(rows, text_block, (0, 0))
+    # Codec block starts right after the true text length, overwriting any
+    # padded text rows; garbage stays strictly to the right.
+    rows = jax.lax.dynamic_update_slice(rows, codec_block, (n_text, 0))
+
+    trailing = pad[None]  # [1, hidden]
+    return rows[None], trailing, jnp.int32(0)
+
+
 def tts_pad_embed(params: dict) -> jnp.ndarray:
     """[1, hidden] projected tts_pad embedding (post-trailing filler)."""
     return embed_text(params, jnp.array([T.TTS_PAD], dtype=jnp.int32))

@@ -69,6 +69,10 @@ class SynthesisOptions:
     chunk_frames: int = 10
     min_new_tokens: int = 2
     seed: int | None = None
+    # ICL prompt layout: False = element-wise overlay (official Python
+    # streaming default), True = sequential [text || codec] blocks (the
+    # mlx-audio non-streaming variant, talker.rs:674-689).
+    icl_sequential: bool = False
 
     def sampling_config(self) -> sampling.SamplingConfig:
         return sampling.SamplingConfig(
@@ -389,7 +393,8 @@ class Qwen3TTS:
         codec_padded = codec_padded.at[1 : t_ref + 1].set(codec_rows)
         n_codec = t_ref + 1
 
-        max_new_bucket, cache, uniforms = self._session_inputs(options, 9 + cb)
+        prefill_bucket = 9 + cb + (tb if options.icl_sequential else 0)
+        max_new_bucket, cache, uniforms = self._session_inputs(options, prefill_bucket)
         started = prefill.prefill_voice_clone_icl(
             self.talker_params,
             self.config.talker,
@@ -403,6 +408,7 @@ class Qwen3TTS:
             cache,
             uniforms,
             max_new_bucket,
+            sequential=options.icl_sequential,
         )
         return self._make_session(started, options, uniforms), t_ref
 

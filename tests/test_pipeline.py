@@ -135,6 +135,23 @@ def test_voice_clone_icl(model):
     assert len(audio) == expected
 
 
+def test_voice_clone_icl_sequential(model):
+    from dataclasses import replace
+
+    rs = np.random.RandomState(2)
+    prompt = VoiceClonePrompt(
+        speaker_embedding=rs.randn(64).astype(np.float32),
+        ref_codes=rs.randint(0, 128, size=(5, 16)).astype(np.int32),
+        ref_text_ids=[4, 6],
+    )
+    opts = replace(OPTS, icl_sequential=True)
+    audio, frames = model.synthesize_voice_clone_debug("SeqICL", prompt, "english", opts)
+    assert frames.shape[0] > 0
+    # sequential vs overlay layouts condition differently -> usually different codes
+    audio2, frames2 = model.synthesize_voice_clone_debug("SeqICL", prompt, "english", OPTS)
+    assert frames.shape != frames2.shape or not np.array_equal(frames, frames2)
+
+
 def test_capability_probes():
     m = tiny_model(ModelType.CUSTOM_VOICE)
     assert m.supports_preset_speakers()
