@@ -1,0 +1,99 @@
+"""Batched (throughput-mode) generation: many utterances, one loop.
+
+The per-frame loop is HBM-bandwidth-bound (every frame streams the full
+talker + code-predictor weights), so batching B independent utterances
+through one vmapped while_loop amortizes the weight reads across streams —
+near-B x aggregate throughput on a single chip. This is new TPU-native
+capability: the reference is strictly batch-1 (kv_cache.rs:262).
+
+Correctness under vmap: a vmapped while_loop runs its body while ANY stream
+is live; the body freezes EOS-done streams (core.generate_frames), so each
+stream's output is identical to its single-stream run given the same seed.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..models.config import CodePredictorConfig, TalkerConfig
+from ..ops import sampling
+from . import core, prefill
+
+# vmap axes: params shared (None), per-utterance tensors batched (0).
+_batched_prefill_cv = jax.vmap(
+    prefill.custom_voice_impl,
+    in_axes=(None, None, None, 0, 0, 0, 0, 0, 0, None),
+)
+
+_batched_generate = jax.vmap(
+    core.generate_frames,
+    in_axes=(None, None, None, None, None, 0, 0, 0, None, 0, None),
+)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("tcfg", "scfg", "max_new_tokens"),
+    donate_argnames=("caches",),
+)
+def prefill_custom_voice_batch(
+    talker_params: dict,
+    tcfg: TalkerConfig,
+    scfg: sampling.SamplingConfig,
+    text_ids: jnp.ndarray,  # [B, Tb]
+    text_lens: jnp.ndarray,  # [B]
+    speaker_ids: jnp.ndarray,  # [B]
+    lang_ids: jnp.ndarray,  # [B]
+    caches,  # KVCache with leading batch axis on k/v
+    uniforms: jnp.ndarray,  # [B, max_new + 1]
+    max_new_tokens: int,
+):
+    """Returns (batched GenState, trailing [B, Tb, H], trailing_lens [B], pad)."""
+    return _batched_prefill_cv(
+        talker_params,
+        tcfg,
+        scfg,
+        text_ids,
+        text_lens,
+        speaker_ids,
+        lang_ids,
+        caches,
+        uniforms,
+        max_new_tokens,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("tcfg", "cpcfg", "scfg"),
+    donate_argnames=("states",),
+)
+def generate_frames_batch(
+    talker_params: dict,
+    cp_params: dict,
+    tcfg: TalkerConfig,
+    cpcfg: CodePredictorConfig,
+    scfg: sampling.SamplingConfig,
+    states: core.GenState,  # leaves batched on axis 0
+    trailing: jnp.ndarray,  # [B, Tb, H]
+    trailing_lens: jnp.ndarray,  # [B]
+    pad_embed: jnp.ndarray,  # [H] (shared)
+    uniforms: jnp.ndarray,  # [B, max_new + 1]
+    frame_limit: jnp.ndarray,  # [] shared
+) -> core.GenState:
+    return _batched_generate(
+        talker_params,
+        cp_params,
+        tcfg,
+        cpcfg,
+        scfg,
+        states,
+        trailing,
+        trailing_lens,
+        pad_embed,
+        uniforms,
+        frame_limit,
+    )

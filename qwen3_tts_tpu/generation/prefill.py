@@ -44,12 +44,7 @@ def _finish(
     return state, trailing, trailing_len, pad
 
 
-@partial(
-    jax.jit,
-    static_argnames=("tcfg", "scfg", "max_new_tokens"),
-    donate_argnames=("cache",),
-)
-def prefill_custom_voice(
+def custom_voice_impl(
     talker_params: dict,
     tcfg: TalkerConfig,
     scfg: sampling.SamplingConfig,
@@ -77,6 +72,13 @@ def prefill_custom_voice(
         trailing,
         text_len,
     )
+
+
+prefill_custom_voice = partial(
+    jax.jit,
+    static_argnames=("tcfg", "scfg", "max_new_tokens"),
+    donate_argnames=("cache",),
+)(custom_voice_impl)
 
 
 @partial(

@@ -466,6 +466,106 @@ class Qwen3TTS:
         )
         return audio, timing
 
+    def synthesize_batch(
+        self,
+        texts: list[str],
+        speakers: list[str] | str = "ryan",
+        languages: list[str] | str = "english",
+        options: SynthesisOptions | None = None,
+    ) -> list[AudioBuffer]:
+        """Throughput mode: synthesize B utterances through ONE vmapped loop.
+
+        The frame loop is bandwidth-bound, so batching amortizes the weight
+        streaming across streams — near-B x aggregate throughput on one chip
+        (new capability; the reference is strictly batch-1). Per-utterance
+        seeds are options.seed + i, so stream i reproduces its single-stream
+        output.
+        """
+        from .generation import batch as gbatch
+
+        options = options or SynthesisOptions()
+        b = len(texts)
+        if isinstance(speakers, str):
+            speakers = [speakers] * b
+        if isinstance(languages, str):
+            languages = [languages] * b
+
+        encoded = [self._encode_text(t) for t in texts]
+        tb = next_bucket(max(max(len(e) for e in encoded), 1), TEXT_BUCKET)
+        text_ids = np.zeros((b, tb), np.int32)
+        for i, e in enumerate(encoded):
+            text_ids[i, : len(e)] = e
+        text_lens = jnp.asarray([len(e) for e in encoded], jnp.int32)
+        speaker_ids = jnp.asarray(
+            [T.speaker_info(s).token_id for s in speakers], jnp.int32
+        )
+        lang_ids = jnp.asarray([T.language_token_id(l) for l in languages], jnp.int32)
+
+        max_new_bucket = next_bucket(options.max_length, buckets=FRAME_BUCKETS)
+        stack_cfg = self.config.talker.layer_stack()
+        dtype = self.talker_params["codec_head"].dtype
+        cache_shape = (
+            b,
+            stack_cfg.num_layers,
+            1,
+            10 + max_new_bucket + 8,
+            stack_cfg.num_kv_heads,
+            stack_cfg.head_dim,
+        )
+        caches = nn.KVCache(jnp.zeros(cache_shape, dtype), jnp.zeros(cache_shape, dtype))
+        base_seed = options.seed if options.seed is not None else 0
+        uniforms = jnp.asarray(
+            np.stack(
+                [
+                    rng.pcg_uniform_sequence(base_seed + i, max_new_bucket + 1)
+                    for i in range(b)
+                ]
+            )
+        )
+
+        scfg = options.sampling_config()
+        states, trailing, trailing_lens, pads = gbatch.prefill_custom_voice_batch(
+            self.talker_params,
+            self.config.talker,
+            scfg,
+            jnp.asarray(text_ids),
+            text_lens,
+            speaker_ids,
+            lang_ids,
+            caches,
+            uniforms,
+            max_new_bucket,
+        )
+        states = gbatch.generate_frames_batch(
+            self.talker_params,
+            self.cp_params,
+            self.config.talker,
+            self.config.code_predictor,
+            scfg,
+            states,
+            trailing,
+            trailing_lens,
+            pads[0],
+            uniforms,
+            jnp.int32(options.max_length),
+        )
+        frames, counts = jax.device_get((states.frames, states.frame_idx))
+        counts = np.asarray(counts)
+        t_max = int(counts.max()) if b else 0
+        if t_max == 0:
+            return [AudioBuffer(np.zeros(0, np.float32), T.OUTPUT_SAMPLE_RATE)] * b
+
+        # One batched vocoder pass at the max frame count; per-stream trim is
+        # exact because the vocoder is causal and padded frames are zeros.
+        codes = np.swapaxes(np.asarray(frames[:, :t_max, :], np.int32), 1, 2)  # [B,16,T]
+        wav = vocoder.decode_bucketed(
+            self.vocoder_params, self.vocoder_config, codes, bucket=DECODE_BUCKET
+        )
+        return [
+            AudioBuffer(wav[i, : int(counts[i]) * T.SAMPLES_PER_FRAME], T.OUTPUT_SAMPLE_RATE)
+            for i in range(b)
+        ]
+
     def synthesize_voice_design(
         self,
         text: str,

@@ -152,6 +152,21 @@ def test_voice_clone_icl_sequential(model):
     assert frames.shape != frames2.shape or not np.array_equal(frames, frames2)
 
 
+def test_synthesize_batch_matches_single(model):
+    """Each batched stream reproduces its single-stream output (seed + i)."""
+    texts = ["First utterance", "Second one differs"]
+    batch = model.synthesize_batch(texts, options=OPTS)
+    assert len(batch) == 2
+    from dataclasses import replace
+
+    for i, text in enumerate(texts):
+        single = model.synthesize_with_voice(
+            text, "ryan", "english", replace(OPTS, seed=OPTS.seed + i)
+        )
+        assert len(batch[i]) == len(single)
+        np.testing.assert_array_equal(batch[i].samples, single.samples)
+
+
 def test_capability_probes():
     m = tiny_model(ModelType.CUSTOM_VOICE)
     assert m.supports_preset_speakers()
