@@ -146,10 +146,19 @@ class Qwen3TTS:
 
     @classmethod
     def from_pretrained(
-        cls, model_dir: str | Path, tokenizer_id: str | None = None
+        cls,
+        model_dir: str | Path,
+        tokenizer_id: str | None = None,
+        vocoder_config: vocoder.VocoderConfig | None = None,
+        mimi_config=None,
     ) -> "Qwen3TTS":
         """Load from a local HF checkpoint directory (config.json +
-        model.safetensors + speech_tokenizer/model.safetensors)."""
+        model.safetensors + speech_tokenizer/model.safetensors).
+
+        ``vocoder_config``/``mimi_config`` default to the production 12 Hz
+        speech-tokenizer dimensions; override for non-standard checkpoints.
+        """
+        vocoder_config = vocoder_config or vocoder.VocoderConfig()
         model_dir = Path(model_dir)
         config_path = model_dir / "config.json"
         raw = W.load_safetensors(model_dir / "model.safetensors")
@@ -173,7 +182,7 @@ class Qwen3TTS:
 
         talker_params = W.load_talker_params(raw, config.talker)
         cp_params = W.load_code_predictor_params(raw, config.code_predictor)
-        vocoder_params = vocoder.load_vocoder_params(st_raw)
+        vocoder_params = vocoder.load_vocoder_params(st_raw, vocoder_config)
 
         speaker_encoder = None
         if any(k.startswith("speaker_encoder.") for k in raw):
@@ -186,9 +195,11 @@ class Qwen3TTS:
         speech_encoder = None
         if any(k.startswith("encoder.") for k in st_raw):
             try:
-                from .models.codec.encoder import Encoder12Hz
+                from .models.codec.encoder import Encoder12Hz, MimiEncoderConfig
 
-                speech_encoder = Encoder12Hz.from_weights(st_raw)
+                speech_encoder = Encoder12Hz.from_weights(
+                    st_raw, mimi_config or MimiEncoderConfig()
+                )
             except Exception:  # noqa: BLE001 — ICL optional, mirrors reference
                 speech_encoder = None
 
@@ -200,6 +211,7 @@ class Qwen3TTS:
             tokenizer,
             speaker_encoder,
             speech_encoder,
+            vocoder_config=vocoder_config,
         )
 
     @classmethod
