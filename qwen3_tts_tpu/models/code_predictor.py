@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import nn
+from ..ops import quant
 from .config import CodePredictorConfig
 
 # 2 prefill positions + 15 decode tokens; the 15th is never attended but
@@ -33,6 +34,13 @@ def _maybe_project(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     if proj is None:
         return x
     return x @ proj["w"] + proj["b"]
+
+
+def _head(heads, index_or_slice):
+    """Index/slice the stacked lm heads, plain [G, K, V] or quantized dict."""
+    if quant.is_quantized(heads):
+        return {"q8": heads["q8"][index_or_slice], "scale": heads["scale"][index_or_slice]}
+    return heads[index_or_slice]
 
 
 def predict_acoustic_codes(
@@ -59,7 +67,7 @@ def predict_acoustic_codes(
     h = nn.rms_norm(h, params["norm"], cfg.rms_norm_eps)
 
     last = h[:, 1:2, :]
-    logits0 = last @ params["lm_heads"][0]
+    logits0 = quant.mm(last, _head(params["lm_heads"], 0))
     code0 = jnp.argmax(logits0[:, 0, :], axis=-1).astype(jnp.int32)[0]
 
     # --- 14 decode steps over groups 1..14 ---
@@ -72,7 +80,7 @@ def predict_acoustic_codes(
             params["layers"], x, stack_cfg, cache, pos[None], pos
         )
         h = nn.rms_norm(h, params["norm"], cfg.rms_norm_eps)
-        logits = h[:, 0, :] @ lm_head
+        logits = quant.mm(h[:, 0, :], lm_head)
         code = jnp.argmax(logits, axis=-1).astype(jnp.int32)[0]
         return (code, cache, pos + 1), code
 
@@ -80,7 +88,9 @@ def predict_acoustic_codes(
     init = (code0, cache, jnp.int32(2))
     # Group g embeds with table g-1 and predicts with head g.
     (_, _, _), rest = jax.lax.scan(
-        step, init, (params["codec_embeddings"][: n - 1], params["lm_heads"][1:n])
+        step,
+        init,
+        (params["codec_embeddings"][: n - 1], _head(params["lm_heads"], slice(1, n))),
     )
     return jnp.concatenate([code0[None], rest], axis=0)
 
@@ -122,7 +132,18 @@ def predict_acoustic_codes_jacobi(
         h = nn.rms_norm(h, params["norm"], cfg.rms_norm_eps)
         # Position 1+g predicts code g with head g.
         hg = h[0, 1 : 1 + n, :]  # [15, hidden]
-        logits = jnp.einsum("gh,ghv->gv", hg, heads)
+        if quant.is_quantized(heads):
+            logits = (
+                jnp.einsum(
+                    "gh,ghv->gv",
+                    hg,
+                    heads["q8"].astype(hg.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                * heads["scale"]
+            )
+        else:
+            logits = jnp.einsum("gh,ghv->gv", hg, heads)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     def cond(carry):

@@ -245,7 +245,9 @@ def forward(
 
 def codec_logits(params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
     """Codec head on (already normed) hidden states: [..., codec_vocab]."""
-    return hidden @ params["codec_head"]
+    from ..ops.quant import mm
+
+    return mm(hidden, params["codec_head"])
 
 
 def prefill(

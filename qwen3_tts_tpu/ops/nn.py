@@ -29,6 +29,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .quant import mm
+
 
 @dataclass(frozen=True)
 class LayerStackConfig:
@@ -113,12 +115,11 @@ def swiglu(x: jnp.ndarray, gate_w: jnp.ndarray, up_w: jnp.ndarray, down_w: jnp.n
 def swiglu_layer(layer_params: dict, x: jnp.ndarray) -> jnp.ndarray:
     """SwiGLU using either fused [gate|up] or separate projections."""
     if "gateup_proj" in layer_params:
-        gu = x @ layer_params["gateup_proj"]
+        gu = mm(x, layer_params["gateup_proj"])
         inter = gu.shape[-1] // 2
-        return (jax.nn.silu(gu[..., :inter]) * gu[..., inter:]) @ layer_params["down_proj"]
-    return swiglu(
-        x, layer_params["gate_proj"], layer_params["up_proj"], layer_params["down_proj"]
-    )
+        return mm(jax.nn.silu(gu[..., :inter]) * gu[..., inter:], layer_params["down_proj"])
+    gate = jax.nn.silu(mm(x, layer_params["gate_proj"]))
+    return mm(gate * mm(x, layer_params["up_proj"]), layer_params["down_proj"])
 
 
 def gqa_attention(
@@ -170,16 +171,16 @@ def _attention_block(
     kv_dim = cfg.num_kv_heads * cfg.head_dim
     if "qkv_proj" in layer_params:
         # Fused single-pass projection (see weights.fuse_layer_params).
-        qkv = x @ layer_params["qkv_proj"]
+        qkv = mm(x, layer_params["qkv_proj"])
         q, k, v = (
             qkv[..., :q_dim],
             qkv[..., q_dim : q_dim + kv_dim],
             qkv[..., q_dim + kv_dim :],
         )
     else:
-        q = x @ layer_params["q_proj"]
-        k = x @ layer_params["k_proj"]
-        v = x @ layer_params["v_proj"]
+        q = mm(x, layer_params["q_proj"])
+        k = mm(x, layer_params["k_proj"])
+        v = mm(x, layer_params["v_proj"])
     q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
     k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
@@ -196,7 +197,7 @@ def _attention_block(
 
     scale = 1.0 / (cfg.head_dim**0.5)
     attn = gqa_attention(q, cache_k, cache_v, mask, scale)
-    out = attn.reshape(b, s, cfg.num_heads * cfg.head_dim) @ layer_params["o_proj"]
+    out = mm(attn.reshape(b, s, cfg.num_heads * cfg.head_dim), layer_params["o_proj"])
     return out, cache_k, cache_v
 
 
@@ -259,21 +260,21 @@ def run_layer_stack_nocache(
         b = h.shape[0]
         h_norm = rms_norm(h, layer_params["input_ln"], cfg.rms_norm_eps)
         if "qkv_proj" in layer_params:
-            qkv = h_norm @ layer_params["qkv_proj"]
+            qkv = mm(h_norm, layer_params["qkv_proj"])
             q = qkv[..., :q_dim]
             k = qkv[..., q_dim : q_dim + kv_dim]
             v = qkv[..., q_dim + kv_dim :]
         else:
-            q = h_norm @ layer_params["q_proj"]
-            k = h_norm @ layer_params["k_proj"]
-            v = h_norm @ layer_params["v_proj"]
+            q = mm(h_norm, layer_params["q_proj"])
+            k = mm(h_norm, layer_params["k_proj"])
+            v = mm(h_norm, layer_params["v_proj"])
         q = rms_norm(q.reshape(b, s, cfg.num_heads, cfg.head_dim), layer_params["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim), layer_params["k_norm"], cfg.rms_norm_eps)
         v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         attn = gqa_attention(q, k, v, mask, 1.0 / cfg.head_dim**0.5)
-        h = h + attn.reshape(b, s, cfg.num_heads * cfg.head_dim) @ layer_params["o_proj"]
+        h = h + mm(attn.reshape(b, s, cfg.num_heads * cfg.head_dim), layer_params["o_proj"])
         mlp_out = swiglu_layer(
             layer_params, rms_norm(h, layer_params["post_ln"], cfg.rms_norm_eps)
         )

@@ -1,0 +1,144 @@
+"""Weight-only int8 quantization with a Pallas dequantizing matmul.
+
+The decode loop streams every weight matrix from HBM each frame — pure
+bandwidth. Storing linears as int8 (+ per-output-channel f32 scale) halves
+that traffic; the Pallas kernel dequantizes tiles in VMEM right before the
+MXU dot, something XLA cannot express without materializing bf16 weights in
+HBM. Opt-in (`Qwen3TTS(..., quantize_int8=True)`): weight-only int8 is
+near-lossless on transformer LLMs but should be validated per checkpoint.
+
+A quantized linear is the dict {"q8": int8 [K, N], "scale": f32 [N]};
+``mm(x, w)`` dispatches between plain and quantized weights everywhere the
+model code multiplies.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def quantize_linear(w: jnp.ndarray) -> dict:
+    """[K, N] float weights -> {"q8": int8 [K, N], "scale": f32 [N]}.
+
+    Per-output-channel absmax scaling (symmetric).
+    """
+    wf = jnp.asarray(w, jnp.float32)
+    scale = jnp.clip(jnp.max(jnp.abs(wf), axis=0), 1e-8, None) / 127.0
+    q8 = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return {"q8": q8, "scale": scale}
+
+
+def is_quantized(w) -> bool:
+    return isinstance(w, dict) and "q8" in w
+
+
+def _dequant_matmul_reference(x: jnp.ndarray, q8: jnp.ndarray, scale: jnp.ndarray):
+    """Portable fallback: dequantize then dot (correct everywhere)."""
+    acc = jnp.dot(
+        x.astype(jnp.bfloat16),
+        q8.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return (acc * scale).astype(x.dtype)
+
+
+def _make_pallas_matmul(m: int, k: int, n: int, out_dtype):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    # Tile the output-channel axis; x and a [K, BN] weight tile live in VMEM.
+    bn = 512 if n % 512 == 0 else (256 if n % 256 == 0 else 128)
+    if n % bn != 0 or k % 128 != 0:
+        return None  # shapes the kernel doesn't cover -> fallback
+
+    def kernel(x_ref, w_ref, s_ref, o_ref):
+        w = w_ref[:].astype(jnp.bfloat16)  # dequantize tile in VMEM
+        acc = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+        o_ref[:] = (acc * s_ref[:]).astype(out_dtype)
+
+    grid = (n // bn,)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            # scale is passed as [1, N] — 2D keeps Mosaic/XLA layouts aligned
+            pl.BlockSpec((1, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+    )
+
+
+def int8_matmul(x: jnp.ndarray, q8: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """x [.., K] @ dequant(q8 [K, N]) -> [.., N].
+
+    Uses the Pallas kernel on TPU (tiled VMEM dequant feeding the MXU);
+    portable dequant-then-dot elsewhere or for uncovered shapes.
+    """
+    lead = x.shape[:-1]
+    k, n = q8.shape
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+
+    use_pallas = jax.default_backend() == "tpu" and m <= 1024
+    if use_pallas:
+        fn = _make_pallas_matmul(m, k, n, x.dtype)
+        if fn is not None:
+            out = fn(
+                x2.astype(jnp.bfloat16), q8, scale.astype(jnp.float32)[None, :]
+            )
+            return out.reshape(*lead, n)
+    return _dequant_matmul_reference(x2, q8, scale).reshape(*lead, n)
+
+
+def mm(x: jnp.ndarray, w) -> jnp.ndarray:
+    """Matmul dispatch: plain array or quantized-linear dict."""
+    if is_quantized(w):
+        return int8_matmul(x, w["q8"], w["scale"])
+    return x @ w
+
+
+_LINEAR_KEYS = (
+    "q_proj",
+    "k_proj",
+    "v_proj",
+    "o_proj",
+    "gate_proj",
+    "up_proj",
+    "down_proj",
+    "qkv_proj",
+    "gateup_proj",
+)
+
+
+def quantize_layer_stack(stacked: dict) -> dict:
+    """Quantize the stacked [L, K, N] linear weights of a layer stack."""
+    out = dict(stacked)
+    for key in _LINEAR_KEYS:
+        if key in out:
+            w = out[key]  # [L, K, N]
+            quantized = jax.vmap(quantize_linear)(w)
+            out[key] = {"q8": quantized["q8"], "scale": quantized["scale"]}
+    return out
+
+
+def quantize_talker_params(params: dict) -> dict:
+    out = dict(params)
+    out["layers"] = quantize_layer_stack(params["layers"])
+    out["codec_head"] = quantize_linear(params["codec_head"])
+    return out
+
+
+def quantize_code_predictor_params(params: dict) -> dict:
+    out = dict(params)
+    out["layers"] = quantize_layer_stack(params["layers"])
+    lm = params["lm_heads"]  # [G, K, N]
+    q = jax.vmap(quantize_linear)(lm)
+    out["lm_heads"] = {"q8": q["q8"], "scale": q["scale"]}
+    return out

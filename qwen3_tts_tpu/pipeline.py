@@ -122,6 +122,7 @@ class Qwen3TTS:
         speech_encoder=None,
         vocoder_config: vocoder.VocoderConfig = vocoder.VocoderConfig(),
         fuse_projections: bool = False,
+        quantize_int8: bool = False,
     ):
         self.config = config
         if fuse_projections:
@@ -132,8 +133,19 @@ class Qwen3TTS:
             # topologies.
             talker_params = W.fuse_model_params(talker_params)
             cp_params = W.fuse_model_params(cp_params)
+        if quantize_int8:
+            # Experimental weight-only int8 (Pallas dequant matmul): ~2x less
+            # HBM traffic in the bandwidth-bound frame loop. Near-lossless on
+            # transformer weights in general, but validate audio quality per
+            # checkpoint before production use (ops/quant.py).
+            from .ops import quant as Q
+
+            talker_params = Q.quantize_talker_params(talker_params)
+            cp_params = Q.quantize_code_predictor_params(cp_params)
         self.talker_params = talker_params
         self.cp_params = cp_params
+        # Activation compute dtype (norm weights are never quantized).
+        self.compute_dtype = talker_params["norm"].dtype
         self.vocoder_params = vocoder_params
         self.vocoder_config = vocoder_config
         self.tokenizer = tokenizer
@@ -274,7 +286,7 @@ class Qwen3TTS:
             self.config.talker.layer_stack(),
             batch=1,
             max_seq=prefill_bucket + max_new_bucket + 8,
-            dtype=self.talker_params["codec_head"].dtype,
+            dtype=self.compute_dtype,
         )
 
     def _make_session(self, started, options: SynthesisOptions, uniforms) -> "StreamingSession":
@@ -367,7 +379,7 @@ class Qwen3TTS:
                 ),
             )
 
-        compute_dtype = self.talker_params["codec_head"].dtype
+        compute_dtype = self.compute_dtype
         speaker_vec = jnp.asarray(prompt_data.speaker_embedding, compute_dtype)
 
         if not is_icl:
@@ -515,7 +527,7 @@ class Qwen3TTS:
 
         max_new_bucket = next_bucket(options.max_length, buckets=FRAME_BUCKETS)
         stack_cfg = self.config.talker.layer_stack()
-        dtype = self.talker_params["codec_head"].dtype
+        dtype = self.compute_dtype
         cache_shape = (
             b,
             stack_cfg.num_layers,
