@@ -16,7 +16,6 @@ import jax
 import jax.numpy as jnp
 
 from ..models import talker
-from ..models import tokens as T
 from ..models.config import TalkerConfig
 from ..ops import nn, sampling
 from . import core

@@ -14,7 +14,6 @@ explicit reflect "same" padding. Parity reference:
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from functools import partial
 
 import jax

@@ -14,11 +14,8 @@ model code multiplies.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def quantize_linear(w: jnp.ndarray) -> dict:

@@ -29,16 +29,13 @@ import numpy as np
 from .audio.io import AudioBuffer
 from .audio.resample import resample_to_24k
 from .generation import core, prefill
-from .models import code_predictor as cp_model
 from .models import talker as talker_model
 from .models import tokens as T
 from .models import weights as W
 from .models.codec import vocoder
 from .models.config import (
-    CodePredictorConfig,
     ModelConfig,
     ModelType,
-    TalkerConfig,
     config_for_variant,
     parse_config_json,
 )
