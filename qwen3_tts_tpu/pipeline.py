@@ -18,6 +18,7 @@ causal convs).
 
 from __future__ import annotations
 
+import logging
 import time
 from dataclasses import dataclass, replace
 from pathlib import Path
@@ -43,6 +44,8 @@ from .ops import nn, rng, sampling
 from .tokenizer import TextTokenizer
 from .utils import compile_cache
 from .utils.bucketing import next_bucket
+
+logger = logging.getLogger("qwen3_tts_tpu")
 
 # Persistent XLA compile cache: the large fused programs compile once per
 # machine, not once per process.
@@ -131,12 +134,18 @@ class Qwen3TTS:
             talker_params = W.fuse_model_params(talker_params)
             cp_params = W.fuse_model_params(cp_params)
         if quantize_int8:
-            # Experimental weight-only int8 (Pallas dequant matmul): ~2x less
-            # HBM traffic in the bandwidth-bound frame loop. Near-lossless on
-            # transformer weights in general, but validate audio quality per
-            # checkpoint before production use (ops/quant.py).
+            # Experimental weight-only int8 (Pallas dequant matmul): halves
+            # the HBM weight traffic in the bandwidth-bound frame loop.
+            # Measured on v5e at 1.7B: 8.48 -> 7.4 ms/frame with fused
+            # projections (fewer, larger kernel invocations — per-call
+            # overhead otherwise eats the bandwidth win in the CP's many
+            # small steps). Near-lossless on transformer weights in general,
+            # but validate audio quality per checkpoint (ops/quant.py).
             from .ops import quant as Q
 
+            if not fuse_projections:
+                talker_params = W.fuse_model_params(talker_params)
+                cp_params = W.fuse_model_params(cp_params)
             talker_params = Q.quantize_talker_params(talker_params)
             cp_params = Q.quantize_code_predictor_params(cp_params)
         self.talker_params = talker_params
@@ -468,6 +477,20 @@ class Qwen3TTS:
         language: str = "english",
         options: SynthesisOptions | None = None,
     ) -> tuple[AudioBuffer, SynthesisTiming]:
+        # Variant-mismatch warnings (src/lib.rs:728-741)
+        if self.config.model_type == ModelType.BASE:
+            logger.warning(
+                "Using preset speaker %r on a Base model; Base models are "
+                "trained for voice cloning — the output voice will be "
+                "unpredictable. Use synthesize_voice_clone() instead.",
+                speaker,
+            )
+        elif self.config.model_type == ModelType.VOICE_DESIGN:
+            logger.warning(
+                "Using preset speaker %r on a VoiceDesign model; use "
+                "synthesize_voice_design() for text-described voices.",
+                speaker,
+            )
         options = options or SynthesisOptions()
         t0 = time.perf_counter()
         session = self._custom_voice_session(text, speaker, language, options)
@@ -594,6 +617,12 @@ class Qwen3TTS:
         language: str = "english",
         options: SynthesisOptions | None = None,
     ) -> AudioBuffer:
+        if self.config.model_type != ModelType.VOICE_DESIGN:
+            logger.warning(
+                "VoiceDesign synthesis on a %s model — output may be "
+                "unpredictable (src/lib.rs:812-820).",
+                self.config.label,
+            )
         options = options or SynthesisOptions()
         session = self._voice_design_session(text, instruct, language, options)
         return self.decode_codes(session.run_to_completion())
