@@ -271,7 +271,10 @@ class Qwen3TTS:
     def _encode_text(self, text: str) -> list[int]:
         if self.tokenizer is None:
             raise RuntimeError("No tokenizer loaded")
-        return self.tokenizer.encode(text)
+        ids = self.tokenizer.encode(text)
+        if not ids:
+            raise ValueError("Cannot synthesize empty text (no tokens)")
+        return ids
 
     def _pad_ids(self, ids: list[int]) -> tuple[jnp.ndarray, int]:
         bucket = next_bucket(max(len(ids), 1), TEXT_BUCKET)
@@ -516,14 +519,15 @@ class Qwen3TTS:
         speakers: list[str] | str = "ryan",
         languages: list[str] | str = "english",
         options: SynthesisOptions | None = None,
+        seeds: list[int] | None = None,
     ) -> list[AudioBuffer]:
         """Throughput mode: synthesize B utterances through ONE vmapped loop.
 
         The frame loop is bandwidth-bound, so batching amortizes the weight
         streaming across streams — near-B x aggregate throughput on one chip
-        (new capability; the reference is strictly batch-1). Per-utterance
-        seeds are options.seed + i, so stream i reproduces its single-stream
-        output.
+        (new capability; the reference is strictly batch-1). Stream i uses
+        ``seeds[i]`` (default options.seed + i), reproducing its
+        single-stream output exactly.
         """
         from .generation import batch as gbatch
 
@@ -558,12 +562,11 @@ class Qwen3TTS:
         )
         caches = nn.KVCache(jnp.zeros(cache_shape, dtype), jnp.zeros(cache_shape, dtype))
         base_seed = options.seed if options.seed is not None else 0
+        if seeds is None:
+            seeds = [base_seed + i for i in range(b)]
         uniforms = jnp.asarray(
             np.stack(
-                [
-                    rng.pcg_uniform_sequence(base_seed + i, max_new_bucket + 1)
-                    for i in range(b)
-                ]
+                [rng.pcg_uniform_sequence(s, max_new_bucket + 1) for s in seeds]
             )
         )
 
