@@ -135,6 +135,7 @@ def main(argv: list[str] | None = None) -> int:
         jax.profiler.start_trace(args.profile)
         profile_ctx = args.profile
 
+    frames = None  # raw [T,16] codes, captured when a path exposes them
     t0 = time.perf_counter()
     if args.ref_audio:
         ref = AudioBuffer.load(args.ref_audio)
@@ -142,8 +143,10 @@ def main(argv: list[str] | None = None) -> int:
         prompt = model.create_voice_clone_prompt(ref, ref_text)
         mode = "icl" if ref_text else "x_vector_only"
         print(f"Voice cloning mode: {mode}", file=sys.stderr)
-        audio = model.synthesize_voice_clone(args.text, prompt, args.language, options)
-        n_frames = len(audio) // T.SAMPLES_PER_FRAME
+        audio, frames = model.synthesize_voice_clone_debug(
+            args.text, prompt, args.language, options
+        )
+        n_frames = frames.shape[0]
     elif args.instruct:
         audio = model.synthesize_voice_design(args.text, args.instruct, args.language, options)
         n_frames = len(audio) // T.SAMPLES_PER_FRAME
@@ -195,7 +198,7 @@ def main(argv: list[str] | None = None) -> int:
     out_path.parent.mkdir(parents=True, exist_ok=True)
     save_wav(out_path, audio.samples, audio.sample_rate)
 
-    if args.dump_codes or args.compare:
+    if (args.dump_codes or args.compare) and frames is not None:
         import numpy as np
 
         codes_path = out_path.with_suffix(".codes.bin")
