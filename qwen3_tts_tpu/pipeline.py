@@ -651,8 +651,21 @@ class Qwen3TTS:
         return self._custom_voice_session(text, speaker, language, options)
 
     def create_voice_clone_prompt(
-        self, ref_audio: AudioBuffer, ref_text: str | None = None
+        self,
+        ref_audio: AudioBuffer,
+        ref_text: str | None = None,
+        pad_to_seconds: float | None = None,
     ) -> VoiceClonePrompt:
+        """Build x-vector (+ optional ICL) conditioning from reference audio.
+
+        ``pad_to_seconds``: optionally zero-pad the reference to the next
+        multiple of this duration. The speaker/speech encoders compile one
+        XLA program per distinct audio length (the reflect-padded ECAPA stack
+        is not causal, so exact length bucketing is impossible); padding the
+        *audio* to a few standard durations keeps serving deployments on a
+        handful of cached programs. Trailing silence mildly dilutes the
+        pooled x-vector — leave None for exact reference behavior.
+        """
         if self.speaker_encoder is None:
             hint = {
                 ModelType.CUSTOM_VOICE: " CustomVoice models use preset speakers; use a Base model for cloning.",
@@ -663,7 +676,16 @@ class Qwen3TTS:
         if ref_audio.sample_rate != T.OUTPUT_SAMPLE_RATE:
             ref_audio = resample_to_24k(ref_audio)
 
-        speaker_embedding = self.speaker_encoder.encode(ref_audio.samples)
+        samples = ref_audio.samples
+        if pad_to_seconds:
+            unit = int(pad_to_seconds * T.OUTPUT_SAMPLE_RATE)
+            target = max(((len(samples) + unit - 1) // unit) * unit, unit)
+            padded = np.zeros(target, np.float32)
+            padded[: len(samples)] = samples
+            samples = padded
+            ref_audio = AudioBuffer(samples, T.OUTPUT_SAMPLE_RATE)
+
+        speaker_embedding = self.speaker_encoder.encode(samples)
 
         ref_codes = None
         ref_text_ids = None
