@@ -109,6 +109,41 @@ def test_different_seed_differs():
     assert (n1 != n2) or not np.array_equal(f1[:n1, 0], f2[:n2, 0])
 
 
+def test_eos_respects_min_new_tokens():
+    """A head that always prefers EOS must still emit min_new_tokens frames,
+    then stop (EOS blocked while token_count < min_new_tokens, then allowed)."""
+    tp, cpp, tcfg, cpcfg = make_models()
+    # Rig the codec head: EOS column hugely positive, everything else ~0.
+    head = jnp.zeros_like(tp["codec_head"])
+    head = head.at[:, T.CODEC_EOS].set(50.0)
+    head = head.at[:, 7].set(1.0)  # deterministic runner-up
+    tp = dict(tp, codec_head=head)
+
+    scfg = sampling.SamplingConfig(temperature=0.001, min_new_tokens=2)  # greedy
+    text_ids = jnp.array([5, 17, 0, 0, 0, 0, 0, 0], dtype=jnp.int32)
+    prompt = talker.build_custom_voice_prompt(
+        tp, text_ids[0], T.SPEAKERS["ryan"].token_id, T.LANGUAGES["english"]
+    )
+    cache = nn.init_kv_cache(tcfg.layer_stack(), 1, prompt.shape[1] + MAX_NEW + 4, prompt.dtype)
+    uniforms = jnp.asarray(rng.pcg_uniform_sequence(42, MAX_NEW + 1))
+    state = core.prefill_and_start(
+        tp, tcfg, scfg, prompt, jnp.int32(prompt.shape[1]), cache, uniforms, MAX_NEW
+    )
+    trailing = talker.build_trailing_text(tp, text_ids, jnp.int32(2))
+    pad = talker.tts_pad_embed(tp)[0]
+    state = core.generate_frames_jit(
+        tp, cpp, tcfg, cpcfg, scfg, state, trailing, jnp.int32(2), pad, uniforms,
+        jnp.int32(MAX_NEW),
+    )
+    # Samples: #0 (count 0, EOS blocked -> 7), #1 (count 1, blocked -> 7),
+    # #2 (count 2, EOS allowed -> 2150, no frame emitted for it).
+    assert int(state.frame_idx) == 2
+    assert bool(state.done)
+    # the two emitted frames carry non-EOS semantic tokens
+    sem = np.asarray(state.frames[:2, 0])
+    assert (sem != T.CODEC_EOS).all()
+
+
 def test_chunked_reentry_matches_oneshot():
     """Streaming chunk re-entry must reproduce one-shot frames exactly."""
     tp, cpp, tcfg, cpcfg = make_models()
