@@ -94,6 +94,13 @@ def main():
         )
         log(f"iter {i}: {details[-1]}")
 
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        hbm_mb = stats.get("peak_bytes_in_use", stats.get("bytes_in_use", 0)) / 2**20
+        log(f"device memory: {hbm_mb:.0f} MB peak in use")
+    except Exception:  # noqa: BLE001 — stats optional on some plugins
+        pass
+
     rtf = sum(rtfs) / len(rtfs)
     result = {
         "metric": "rtf_1p7b_bf16_nonstreaming",
