@@ -22,3 +22,68 @@ def test_dryrun_multichip_4():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(4)
+
+
+def test_tp_sharded_matches_unsharded():
+    """tp-sharded generation must produce the same frames as single-device.
+
+    Greedy decoding on a tiny f32 model: collective reduction-order noise is
+    ~1e-6 against O(0.1) logit gaps, so the argmax stream is stable.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from qwen3_tts_tpu.generation import core
+    from qwen3_tts_tpu.models import talker, weights as W, tokens as T
+    from qwen3_tts_tpu.models.config import CodePredictorConfig, TalkerConfig
+    from qwen3_tts_tpu.ops import nn, rng, sampling
+    from qwen3_tts_tpu.parallel import sharding as S
+
+    tcfg = TalkerConfig(
+        text_embed_dim=32, hidden_size=64, text_proj_intermediate=32,
+        intermediate_size=128, num_hidden_layers=2, num_attention_heads=16,
+        num_key_value_heads=8, head_dim=16,
+    )
+    cpcfg = CodePredictorConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=16, num_key_value_heads=8, head_dim=16, vocab_size=128,
+    )
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    tp = W.init_talker_params(k1, tcfg, jnp.float32)
+    cpp = W.init_code_predictor_params(k2, cpcfg, jnp.float32)
+    scfg = sampling.SamplingConfig(temperature=0.001)  # greedy
+    max_new = 6
+    uniforms = jnp.asarray(rng.pcg_uniform_sequence(42, max_new + 1))
+
+    def generate(tparams, cparams):
+        prompt = talker.build_custom_voice_prompt(
+            tparams, jnp.int32(7), T.SPEAKERS["ryan"].token_id, T.LANGUAGES["english"]
+        )
+        cache = nn.init_kv_cache(tcfg.layer_stack(), 1, 10 + max_new + 2, jnp.float32)
+        last, logits, cache = talker.prefill(
+            tparams, tcfg, prompt, jnp.int32(prompt.shape[1]), cache
+        )
+        state = core.init_state(
+            scfg, logits, last, jnp.int32(prompt.shape[1]), cache, uniforms, max_new
+        )
+        trailing = jnp.zeros((8, tcfg.hidden_size), jnp.float32)
+        pad = talker.tts_pad_embed(tparams)[0]
+        final = core.generate_frames(
+            tparams, cparams, tcfg, cpcfg, scfg, state, trailing, jnp.int32(0),
+            pad, uniforms, jnp.int32(max_new),
+        )
+        return final.frames, final.frame_idx
+
+    # single-device baseline
+    frames_ref, n_ref = jax.jit(generate)(tp, cpp)
+
+    # tp=4 sharded
+    mesh = S.make_mesh(jax.devices()[:4], tp=4)
+    tp_sharded = S.shard_pytree(tp, S.talker_specs(tcfg), mesh)
+    cpp_sharded = S.shard_pytree(cpp, S.code_predictor_specs(cpcfg), mesh)
+    frames_tp, n_tp = jax.jit(generate)(tp_sharded, cpp_sharded)
+
+    assert int(n_ref) == int(n_tp)
+    np.testing.assert_array_equal(np.asarray(frames_ref), np.asarray(frames_tp))
