@@ -45,23 +45,25 @@ def main():
     out = Path(args.out_dir)
     out.mkdir(parents=True, exist_ok=True)
 
-    models = []
-    if args.ckpt:
-        for c in args.ckpt:
-            m = Qwen3TTS.from_pretrained(c)
-            models.append((m.config.label, m, False))
-    else:
-        class Tok:
-            def encode(self, text):
-                return [37 + (hash(w) % 15000) for w in text.split()]
+    # Lazy model construction: one model in device memory at a time
+    # (two 1.7B variants alone exceed a single chip's HBM).
+    class Tok:
+        def encode(self, text):
+            return [37 + (hash(w) % 15000) for w in text.split()]
 
-        for size, variant in VARIANTS:
-            m = Qwen3TTS.from_random(config_for_variant(size, variant))
-            m.tokenizer = Tok()
-            models.append((m.config.label, m, True))
+    def model_specs():
+        if args.ckpt:
+            for c in args.ckpt:
+                m = Qwen3TTS.from_pretrained(c)
+                yield m.config.label, m, False
+        else:
+            for size, variant in VARIANTS:
+                m = Qwen3TTS.from_random(config_for_variant(size, variant))
+                m.tokenizer = Tok()
+                yield m.config.label, m, True
 
     rows = []
-    for label, model, synthetic in models:
+    for label, model, synthetic in model_specs():
         for seed in args.seeds:
             opts = SynthesisOptions(
                 max_length=args.frames,
@@ -82,7 +84,12 @@ def main():
             rtf = wall / audio.duration if audio.duration else float("inf")
             rows.append((label, seed, audio.duration, rtf, q["pass"], fname))
             print(f"{label} seed={seed}: {audio.duration:.2f}s RTF {rtf:.3f} "
-                  f"quality={'PASS' if q['pass'] else 'FAIL'}")
+                  f"quality={'PASS' if q['pass'] else 'FAIL'}", flush=True)
+        # Release this variant's device buffers before building the next.
+        del model
+        import gc
+
+        gc.collect()
 
     body = "".join(
         f"<tr><td>{html.escape(l)}</td><td>{s}</td><td>{d:.2f}s</td>"
