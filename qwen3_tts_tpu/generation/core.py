@@ -101,6 +101,9 @@ def generate_frames(
     )
     max_new = state.frames.shape[0]
     tb = trailing.shape[0]
+    # Hoist the CP scan-table slices out of the while body (0.49 ms/frame
+    # of per-frame copies otherwise — see code_predictor.scan_slices).
+    cp_slices = cp.scan_slices(cp_params, cpcfg) if cpcfg.decode_mode != "jacobi" else None
 
     def cond(s: GenState):
         return jnp.logical_not(s.done) & (s.frame_idx < frame_limit)
@@ -108,12 +111,14 @@ def generate_frames(
     def body(s: GenState) -> GenState:
         semantic_embed = talker.embed_codec(talker_params, s.token)[None, None, :]
 
-        predict = (
-            cp.predict_acoustic_codes_jacobi
-            if cpcfg.decode_mode == "jacobi"
-            else cp.predict_acoustic_codes
-        )
-        codes = predict(cp_params, cpcfg, s.last_hidden, semantic_embed)
+        if cpcfg.decode_mode == "jacobi":
+            codes = cp.predict_acoustic_codes_jacobi(
+                cp_params, cpcfg, s.last_hidden, semantic_embed
+            )
+        else:
+            codes = cp.predict_acoustic_codes(
+                cp_params, cpcfg, s.last_hidden, semantic_embed, cp_slices
+            )
         frame = jnp.concatenate([s.token[None], codes], axis=0)
         frames = jax.lax.dynamic_update_slice(s.frames, frame[None, :], (s.frame_idx, 0))
 

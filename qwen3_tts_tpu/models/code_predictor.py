@@ -43,16 +43,29 @@ def _head(heads, index_or_slice):
     return heads[index_or_slice]
 
 
+def scan_slices(params: dict, cfg: CodePredictorConfig):
+    """Pre-slice the per-group scan inputs ONCE (outside any frame loop).
+
+    The decode scan consumes embedding tables [:n-1] and lm heads [1:n];
+    slicing stacked arrays inside the generation while-body materializes
+    ~175 MB of copies per frame (measured 0.49 ms/frame in the 1.7B trace —
+    xprof slice.315/316). Callers hoist these and pass them through.
+    """
+    n = cfg.num_acoustic
+    return params["codec_embeddings"][: n - 1], _head(params["lm_heads"], slice(1, n))
+
+
 def predict_acoustic_codes(
     params: dict,
     cfg: CodePredictorConfig,
     talker_hidden: jnp.ndarray,
     semantic_embed: jnp.ndarray,
+    hoisted_scan_slices=None,
 ) -> jnp.ndarray:
     """All 15 acoustic codes for one frame.
 
     talker_hidden, semantic_embed: [1, 1, embed_dim] (talker hidden size).
-    Returns int32 [num_acoustic].
+    Returns int32 [num_acoustic]. ``hoisted_scan_slices``: see scan_slices().
     """
     stack_cfg = cfg.layer_stack()
     cache = nn.init_kv_cache(stack_cfg, batch=1, max_seq=CP_MAX_SEQ, dtype=talker_hidden.dtype)
@@ -84,14 +97,10 @@ def predict_acoustic_codes(
         code = jnp.argmax(logits, axis=-1).astype(jnp.int32)[0]
         return (code, cache, pos + 1), code
 
-    n = cfg.num_acoustic
     init = (code0, cache, jnp.int32(2))
     # Group g embeds with table g-1 and predicts with head g.
-    (_, _, _), rest = jax.lax.scan(
-        step,
-        init,
-        (params["codec_embeddings"][: n - 1], _head(params["lm_heads"], slice(1, n))),
-    )
+    xs = hoisted_scan_slices if hoisted_scan_slices is not None else scan_slices(params, cfg)
+    (_, _, _), rest = jax.lax.scan(step, init, xs)
     return jnp.concatenate([code0[None], rest], axis=0)
 
 
