@@ -100,6 +100,11 @@ def generate_frames(
         state.penalty_mask.shape[0], scfg.eos_token_id
     )
     max_new = state.frames.shape[0]
+    # Never run past the frames buffer: a frame_limit above max_new would
+    # clamp dynamic_update_slice writes onto the last row (corrupting it)
+    # and re-use the final uniform. Callers clamp max_length to the bucket
+    # too; this is the in-loop guarantee.
+    frame_limit = jnp.minimum(jnp.asarray(frame_limit, jnp.int32), max_new)
     tb = trailing.shape[0]
     # Hoist the CP scan-table slices out of the while body (0.49 ms/frame
     # of per-frame copies otherwise — see code_predictor.scan_slices).

@@ -311,6 +311,22 @@ class Qwen3TTS:
             uniforms=uniforms,
         )
 
+    def _normalize_options(self, options: SynthesisOptions) -> SynthesisOptions:
+        """Clamp max_length to the largest frame bucket (2048 frames = 164 s,
+        the reference's own ceiling, src/lib.rs:1822). Beyond it the frames
+        buffer cannot grow without a recompile, so requests are clamped with
+        a warning rather than silently truncated mid-loop."""
+        if options.max_length > FRAME_BUCKETS[-1]:
+            logger.warning(
+                "max_length=%d exceeds the %d-frame ceiling; clamping.",
+                options.max_length,
+                FRAME_BUCKETS[-1],
+            )
+            options = replace(options, max_length=FRAME_BUCKETS[-1])
+        if options.max_length < 1:
+            raise ValueError(f"max_length must be >= 1, got {options.max_length}")
+        return options
+
     def _session_inputs(self, options: SynthesisOptions, prefill_bucket: int):
         max_new_bucket = next_bucket(options.max_length, buckets=FRAME_BUCKETS)
         cache = self._new_cache(prefill_bucket, max_new_bucket)
@@ -320,6 +336,7 @@ class Qwen3TTS:
     def _custom_voice_session(
         self, text: str, speaker: str, language: str, options: SynthesisOptions
     ) -> "StreamingSession":
+        options = self._normalize_options(options)
         ids = self._encode_text(text)
         text_ids, text_len = self._pad_ids(ids)
         max_new_bucket, cache, uniforms = self._session_inputs(options, 10)
@@ -340,6 +357,7 @@ class Qwen3TTS:
     def _voice_design_session(
         self, text: str, instruct: str, language: str, options: SynthesisOptions
     ) -> "StreamingSession":
+        options = self._normalize_options(options)
         ids = self._encode_text(text)
         text_ids, text_len = self._pad_ids(ids)
         # ChatML user framing for the instruct (src/lib.rs:826-828)
@@ -373,6 +391,7 @@ class Qwen3TTS:
     ) -> tuple["StreamingSession", int]:
         """Returns (session, ref_frame_count). ICL overrides applied here
         (src/lib.rs:912-929)."""
+        options = self._normalize_options(options)
         ids = self._encode_text(text)
         is_icl = prompt_data.ref_codes is not None and prompt_data.ref_text_ids is not None
 
@@ -531,7 +550,7 @@ class Qwen3TTS:
         """
         from .generation import batch as gbatch
 
-        options = options or SynthesisOptions()
+        options = self._normalize_options(options or SynthesisOptions())
         b = len(texts)
         if isinstance(speakers, str):
             speakers = [speakers] * b

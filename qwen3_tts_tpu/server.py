@@ -69,7 +69,27 @@ class BatchingEngine:
             req.error = "synthesis timeout"
         return req
 
-    def _collect(self) -> list[_Request]:
+    @staticmethod
+    def _options_signature(r: _Request) -> tuple:
+        """Fields that must match for requests to share one vmapped loop.
+
+        Everything except seed (per-stream) and max_length (the batch takes
+        the max; per-stream EOS truncation is exact under done-masking).
+        """
+        o = r.options
+        return (
+            o.temperature,
+            o.top_k,
+            o.top_p,
+            o.repetition_penalty,
+            o.eos_token_id,
+            o.min_new_tokens,
+            o.icl_sequential,
+        )
+
+    def _collect(self) -> list[list[_Request]]:
+        """Gather up to max_batch requests within the window, grouped by
+        options signature so no request runs with another's sampling params."""
         first = self.queue.get()
         batch = [first]
         deadline = time.monotonic() + self.batch_window_s
@@ -81,45 +101,52 @@ class BatchingEngine:
                 batch.append(self.queue.get(timeout=remaining))
             except queue.Empty:
                 break
-        return batch
+        groups: dict[tuple, list[_Request]] = {}
+        for r in batch:
+            groups.setdefault(self._options_signature(r), []).append(r)
+        return list(groups.values())
 
     def _run(self):
         from dataclasses import replace
 
         while True:
-            batch = self._collect()
-            try:
-                if len(batch) == 1:
-                    r = batch[0]
-                    audio = self.model.synthesize_with_voice(
-                        r.text, r.speaker, r.language, r.options
-                    )
-                    r.result = audio.samples
-                else:
-                    # Shared frame budget: the vmapped loop uses one bucket.
-                    base = batch[0].options
-                    max_len = max(r.options.max_length for r in batch)
-                    seeds = [
-                        r.options.seed if r.options.seed is not None else i
-                        for i, r in enumerate(batch)
-                    ]
-                    opts = replace(base, max_length=max_len)
-                    audios = self.model.synthesize_batch(
-                        [r.text for r in batch],
-                        [r.speaker for r in batch],
-                        [r.language for r in batch],
-                        opts,
-                        seeds=seeds,
-                    )
-                    for r, audio in zip(batch, audios):
+            for batch in self._collect():
+                try:
+                    if len(batch) == 1:
+                        r = batch[0]
+                        audio = self.model.synthesize_with_voice(
+                            r.text, r.speaker, r.language, r.options
+                        )
                         r.result = audio.samples
-            except Exception as e:  # noqa: BLE001 — report to the caller
-                logger.exception("synthesis failed")
-                for r in batch:
-                    r.error = str(e)
-            finally:
-                for r in batch:
-                    r.done.set()
+                    else:
+                        # Shared frame budget: the vmapped loop uses one bucket.
+                        base = batch[0].options
+                        max_len = max(r.options.max_length for r in batch)
+                        # Unseeded requests draw time entropy (distinct per
+                        # call), matching the single-stream unseeded path.
+                        seeds = [
+                            r.options.seed
+                            if r.options.seed is not None
+                            else (time.time_ns() + i) % (1 << 63)
+                            for i, r in enumerate(batch)
+                        ]
+                        opts = replace(base, max_length=max_len)
+                        audios = self.model.synthesize_batch(
+                            [r.text for r in batch],
+                            [r.speaker for r in batch],
+                            [r.language for r in batch],
+                            opts,
+                            seeds=seeds,
+                        )
+                        for r, audio in zip(batch, audios):
+                            r.result = audio.samples
+                except Exception as e:  # noqa: BLE001 — report to the caller
+                    logger.exception("synthesis failed")
+                    for r in batch:
+                        r.error = str(e)
+                finally:
+                    for r in batch:
+                        r.done.set()
 
 
 def _wav_bytes(samples: np.ndarray, rate: int = 24000) -> bytes:

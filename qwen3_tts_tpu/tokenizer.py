@@ -28,9 +28,15 @@ DEFAULT_TOKENIZER_REPO = "Qwen/Qwen2-0.5B"
 class TextTokenizer:
     def __init__(self, tokenizer: Tokenizer):
         self.tokenizer = tokenizer
-        self.bos_token_id = tokenizer.token_to_id("<|im_start|>") or 151643
-        self.eos_token_id = tokenizer.token_to_id("<|im_end|>") or 151645
-        self.pad_token_id = tokenizer.token_to_id("<|endoftext|>") or 151643
+
+        def _tid(token: str, fallback: int) -> int:
+            # `or` would conflate a legitimate ID of 0 with a missing token.
+            tid = tokenizer.token_to_id(token)
+            return tid if tid is not None else fallback
+
+        self.bos_token_id = _tid("<|im_start|>", 151644)
+        self.eos_token_id = _tid("<|im_end|>", 151645)
+        self.pad_token_id = _tid("<|endoftext|>", 151643)
 
     # -- construction -------------------------------------------------------
 

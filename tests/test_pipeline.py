@@ -105,6 +105,34 @@ def test_streaming_frame_parity(model):
     assert len(chunks) >= 1
 
 
+def test_max_length_over_ceiling_clamped(model):
+    """max_length beyond the largest frame bucket is clamped, not allowed to
+    overrun the frames buffer (which would corrupt the final frame)."""
+    from qwen3_tts_tpu.pipeline import FRAME_BUCKETS
+
+    opts = SynthesisOptions(max_length=FRAME_BUCKETS[-1] + 1000, seed=42)
+    session = model.synthesize_streaming("clamp me", "ryan", "english", opts)
+    assert session.options.max_length == FRAME_BUCKETS[-1]
+    assert session.state.frames.shape[0] == FRAME_BUCKETS[-1]
+    with pytest.raises(ValueError):
+        model.synthesize_streaming(
+            "bad", "ryan", "english", SynthesisOptions(max_length=0)
+        )
+
+
+def test_frame_limit_capped_at_buffer(model):
+    """Even a raw over-budget frame_limit cannot write past the buffer."""
+    import jax.numpy as jnp
+
+    session = model.synthesize_streaming(
+        "tiny buffer", "ryan", "english", SynthesisOptions(max_length=8, seed=1)
+    )
+    # Bypass the options clamp: drive the loop with an absurd frame limit.
+    session._advance(10_000)
+    n = int(session.state.frame_idx)
+    assert n <= session.state.frames.shape[0]
+
+
 def test_voice_design(model):
     audio = model.synthesize_voice_design("Hi", "a deep calm voice", "english", OPTS)
     assert len(audio) % T.SAMPLES_PER_FRAME == 0

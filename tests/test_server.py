@@ -71,7 +71,13 @@ def test_concurrent_requests_batched(running_server):
 
 
 def test_batched_matches_single_stream(running_server):
-    """A request served inside a batch equals the same request served alone."""
+    """A request served inside a batch equals the same request served alone.
+
+    Transport-level smoke only: the tiny model's samples quantize to PCM16
+    silence, so byte equality here cannot detect seed/options mixups — the
+    float-level determinism checks live in
+    test_mixed_options_not_cross_batched / test_unseeded_batch_requests_differ.
+    """
     payload = {"text": "determinism", "seed": 7, "max_frames": 6}
     _, _, alone = _post(running_server, payload)
 
@@ -91,6 +97,89 @@ def test_batched_matches_single_stream(running_server):
     for t in threads:
         t.join()
     assert results[0][2] == alone
+
+
+def test_mixed_options_not_cross_batched():
+    """A request with different sampling options keeps its own settings.
+
+    Float-level check (the tiny random-weight model's samples are ~1e-9, so
+    PCM16 WAV bytes quantize to silence and byte-comparisons at the HTTP
+    layer would be vacuous): the temperature=0.2 request must be routed to
+    its own group — not run with the defaults batch — and produce exactly
+    the audio it produces when served alone.
+    """
+    import numpy as np
+
+    from qwen3_tts_tpu.pipeline import SynthesisOptions
+
+    model = tp.tiny_model()
+    calls = []
+    orig_b, orig_s = model.synthesize_batch, model.synthesize_with_voice
+
+    def spy_batch(texts, speakers="ryan", languages="english", options=None, seeds=None):
+        calls.append(("batch", tuple(texts), options.temperature))
+        return orig_b(texts, speakers, languages, options, seeds=seeds)
+
+    def spy_single(text, speaker="ryan", language="english", options=None):
+        calls.append(("single", text, options.temperature))
+        return orig_s(text, speaker, language, options)
+
+    model.synthesize_batch = spy_batch
+    model.synthesize_with_voice = spy_single
+
+    alone = orig_s("cool", options=SynthesisOptions(max_length=6, seed=5, temperature=0.2))
+    engine = srv.BatchingEngine(model, max_batch=8, batch_window_ms=300)
+    reqs = [
+        srv._Request("cool", "ryan", "english",
+                     SynthesisOptions(max_length=6, seed=5, temperature=0.2)),
+        srv._Request("other1", "ryan", "english", SynthesisOptions(max_length=6, seed=9)),
+        srv._Request("other2", "ryan", "english", SynthesisOptions(max_length=6, seed=11)),
+    ]
+    threads = [threading.Thread(target=engine.submit, args=(r,)) for r in reqs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert all(r.error is None for r in reqs)
+    # The special request ran with ITS temperature, the others with theirs.
+    temps = {kind: temp for kind, _, temp in calls}
+    assert temps.get("single") == 0.2 or ("batch", ("cool",), 0.2) in calls
+    np.testing.assert_array_equal(reqs[0].result, alone.samples)
+    assert not np.array_equal(reqs[1].result, reqs[2].result)
+
+
+def test_unseeded_batch_requests_differ():
+    """Unseeded requests in one batch draw distinct time-entropy seeds."""
+    import numpy as np
+
+    from qwen3_tts_tpu.pipeline import SynthesisOptions
+
+    model = tp.tiny_model()
+    engine = srv.BatchingEngine(model, max_batch=8, batch_window_ms=300)
+    reqs = [
+        srv._Request("zz", "ryan", "english", SynthesisOptions(max_length=6))
+        for _ in range(2)
+    ]
+    threads = [threading.Thread(target=engine.submit, args=(r,)) for r in reqs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(r.error is None for r in reqs)
+    assert not np.array_equal(reqs[0].result, reqs[1].result)
+
+
+def test_options_signature_groups():
+    """_collect partitions a window by sampling-options signature."""
+    from qwen3_tts_tpu.pipeline import SynthesisOptions
+
+    mk = lambda **kw: srv._Request("t", "ryan", "english", SynthesisOptions(**kw))
+    a = srv.BatchingEngine._options_signature(mk(temperature=0.9, seed=1))
+    b = srv.BatchingEngine._options_signature(mk(temperature=0.9, seed=2, max_length=64))
+    c = srv.BatchingEngine._options_signature(mk(temperature=0.2))
+    assert a == b  # seed/max_length do not split batches
+    assert a != c  # temperature does
 
 
 def test_bad_request(running_server):
