@@ -2,7 +2,7 @@
 
 PY ?= python
 
-.PHONY: test test-fast native bench bench-e2e bench-micro audit variants clean
+.PHONY: test test-fast native bench bench-e2e bench-micro audit variants parity clean
 
 test: native
 	$(PY) -m pytest tests/ -q
@@ -27,6 +27,18 @@ audit:
 
 variants:
 	$(PY) scripts/test_variants.py
+
+# Tier-3 validation, one command (VERDICT r1 item 2): torch-oracle golden
+# dump -> golden tests -> quality check -> variant matrix. Needs MODEL_DIR
+# pointing at a real checkpoint.
+parity: native
+	@test -n "$(MODEL_DIR)" || (echo "usage: make parity MODEL_DIR=/path/to/ckpt"; exit 1)
+	$(PY) scripts/dump_reference_values.py --model-dir $(MODEL_DIR) --seed 42
+	$(PY) -m pytest tests/test_reference_golden.py -q
+	$(PY) -m qwen3_tts_tpu --model-dir $(MODEL_DIR) --text "parity check run" \
+		--seed 42 --output /tmp/parity_check.wav
+	$(PY) scripts/quality_check.py /tmp/parity_check.wav
+	$(PY) scripts/test_variants.py --ckpt $(MODEL_DIR)
 
 profile-trace:
 	$(PY) -m qwen3_tts_tpu --model-dir $(MODEL_DIR) --text "profile me" \

@@ -18,6 +18,21 @@ import jax
 import jax.numpy as jnp
 
 
+_pallas_enabled = True
+
+
+def set_pallas_enabled(flag: bool) -> None:
+    """Globally enable/disable the Pallas dequant kernel (trace-time switch).
+
+    Disable under tp>1 tensor-parallel sharding: GSPMD cannot partition a
+    ``pallas_call`` automatically, while the dequant-then-dot fallback shards
+    cleanly with the weight specs (parallel/sharding.py). Single-chip serving
+    keeps it on.
+    """
+    global _pallas_enabled
+    _pallas_enabled = bool(flag)
+
+
 def quantize_linear(w: jnp.ndarray) -> dict:
     """[K, N] float weights -> {"q8": int8 [K, N], "scale": f32 [N]}.
 
@@ -83,7 +98,7 @@ def int8_matmul(x: jnp.ndarray, q8: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndar
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
 
-    use_pallas = jax.default_backend() == "tpu" and m <= 1024
+    use_pallas = _pallas_enabled and jax.default_backend() == "tpu" and m <= 1024
     if use_pallas:
         fn = _make_pallas_matmul(m, k, n, x.dtype)
         if fn is not None:

@@ -27,6 +27,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.config import CodePredictorConfig, TalkerConfig
+from ..ops import quant
+
+
+def _with_scale(spec: P) -> dict:
+    """Spec pair for a quantized linear ``{"q8", "scale"}``.
+
+    q8 keeps the plain weight's spec; the per-output-channel scale carries
+    every axis except the contraction (second-to-last) one, so a
+    column-parallel weight gets a tp-sharded scale and a row-parallel weight
+    a replicated one (the psum happens on the activations, not the scale).
+    """
+    axes = tuple(spec)
+    scale_axes = axes[:-2] + (axes[-1],)
+    return {"q8": spec, "scale": P(*scale_axes)}
+
+
+def _adapt(spec: P, leaf) -> P | dict:
+    """Match a logical weight spec to the actual leaf (plain or quantized)."""
+    return _with_scale(spec) if quant.is_quantized(leaf) else spec
 
 
 def make_mesh(devices=None, tp: int | None = None, dp: int | None = None) -> Mesh:
@@ -48,14 +67,21 @@ def make_mesh(devices=None, tp: int | None = None, dp: int | None = None) -> Mes
     return Mesh(arr, ("dp", "tp"))
 
 
-def layer_stack_specs() -> dict:
+def layer_stack_specs(layers: dict | None = None) -> dict:
     """PartitionSpecs for a stacked decoder-layer pytree [L, ...].
 
     Column-parallel: q/k/v (heads on out dim), gate/up (intermediate on out).
     Row-parallel: o_proj, down_proj (tp on in dim -> psum after matmul).
     Norm weights replicated.
+
+    Pass the actual ``layers`` subtree to adapt to fused (``qkv_proj`` /
+    ``gateup_proj``, weights.fuse_layer_params) and/or int8-quantized
+    (``{"q8", "scale"}`` dict leaves, ops/quant.py) structures. The fused
+    concat axes stay shard-aligned: q_dim (16 heads) and kv_dim (8 heads) are
+    both multiples of the per-shard width for tp in {2, 4, 8}, so GSPMD's
+    slices of qkv land on shard boundaries.
     """
-    return {
+    base = {
         "q_proj": P(None, None, "tp"),
         "k_proj": P(None, None, "tp"),
         "v_proj": P(None, None, "tp"),
@@ -68,9 +94,27 @@ def layer_stack_specs() -> dict:
         "up_proj": P(None, None, "tp"),
         "down_proj": P(None, "tp", None),
     }
+    if layers is None:
+        return base
+    if "qkv_proj" in layers:
+        base["qkv_proj"] = P(None, None, "tp")
+        base["gateup_proj"] = P(None, None, "tp")
+        for key in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"):
+            del base[key]
+    missing = set(base) - set(layers)
+    if missing:
+        raise ValueError(
+            f"layer stack missing expected weights {sorted(missing)}; "
+            "pass the actual params['layers'] subtree so specs match its "
+            "structure (fused/int8 trees included)"
+        )
+    return {key: _adapt(spec, layers[key]) for key, spec in base.items()}
 
 
-def talker_specs(cfg: TalkerConfig) -> dict:
+def talker_specs(cfg: TalkerConfig, params: dict | None = None) -> dict:
+    """Serving partition specs; pass ``params`` to mirror fused/int8 trees."""
+    layers = params["layers"] if params is not None else None
+    head = params["codec_head"] if params is not None else None
     return {
         "text_embedding": P(None, None),
         "text_projection": {
@@ -80,18 +124,21 @@ def talker_specs(cfg: TalkerConfig) -> dict:
             "fc2_b": P(None),
         },
         "codec_embedding": P(None, None),
-        "layers": layer_stack_specs(),
+        "layers": layer_stack_specs(layers),
         "norm": P(None),
-        "codec_head": P(None, "tp"),
+        "codec_head": _adapt(P(None, "tp"), head),
     }
 
 
-def code_predictor_specs(cfg: CodePredictorConfig) -> dict:
+def code_predictor_specs(cfg: CodePredictorConfig, params: dict | None = None) -> dict:
+    """Serving partition specs; pass ``params`` to mirror fused/int8 trees."""
+    layers = params["layers"] if params is not None else None
+    heads = params["lm_heads"] if params is not None else None
     specs = {
         "codec_embeddings": P(None, None, None),
-        "layers": layer_stack_specs(),
+        "layers": layer_stack_specs(layers),
         "norm": P(None),
-        "lm_heads": P(None, None, "tp"),
+        "lm_heads": _adapt(P(None, None, "tp"), heads),
         "mtp_proj": None,
     }
     if cfg.needs_projection:

@@ -169,12 +169,16 @@ class Qwen3TTS:
         tokenizer_id: str | None = None,
         vocoder_config: vocoder.VocoderConfig | None = None,
         mimi_config=None,
+        dtype=jnp.bfloat16,
     ) -> "Qwen3TTS":
         """Load from a local HF checkpoint directory (config.json +
         model.safetensors + speech_tokenizer/model.safetensors).
 
         ``vocoder_config``/``mimi_config`` default to the production 12 Hz
         speech-tokenizer dimensions; override for non-standard checkpoints.
+        ``dtype`` is the talker/code-predictor compute dtype — bf16 for TPU
+        serving (the reference's CUDA/Metal policy), f32 for CPU numerics
+        parity (the reference's CPU policy, src/lib.rs:1436).
         """
         vocoder_config = vocoder_config or vocoder.VocoderConfig()
         model_dir = Path(model_dir)
@@ -198,8 +202,8 @@ class Qwen3TTS:
 
         tokenizer = TextTokenizer.from_pretrained(tokenizer_id or model_dir)
 
-        talker_params = W.load_talker_params(raw, config.talker)
-        cp_params = W.load_code_predictor_params(raw, config.code_predictor)
+        talker_params = W.load_talker_params(raw, config.talker, dtype)
+        cp_params = W.load_code_predictor_params(raw, config.code_predictor, dtype)
         vocoder_params = vocoder.load_vocoder_params(st_raw, vocoder_config)
 
         speaker_encoder = None

@@ -19,6 +19,12 @@ float32 binaries with a ``metadata.json`` sentinel:
 
 Tests skip silently when dumps or the checkpoint are absent (the
 reference's skip-if-absent pattern, reference_validation.rs:11-47).
+
+Producer: ``scripts/dump_reference_values.py`` (torch-oracle harness) — or
+``make parity MODEL_DIR=...`` for the full dump -> golden -> quality chain.
+The producer+consumer pair is itself tested end-to-end on a synthetic
+checkpoint in tests/test_dump_producer.py, including token-exact seed-42
+code parity between the torch oracle and the JAX pipeline.
 """
 
 import json
