@@ -142,9 +142,61 @@ def main():
         }
         print(f"{name}: {results[name]}", file=sys.stderr)
 
+    # ICL voice-clone streaming TTFA (VERDICT r1 item 6): prefill is larger
+    # (9 + ref-code rows) and the first chunk decodes [ref || chunk], so clone
+    # TTFA is the worst-case first-audio latency. Synthetic prompt when no
+    # checkpoint: timing is weight-independent.
+    import numpy as np
+
+    from qwen3_tts_tpu.pipeline import VoiceClonePrompt
+
+    rs = np.random.RandomState(0)
+    ref_frames = 38  # ~3 s reference audio at 12.5 Hz
+    hidden = model.config.talker.hidden_size
+    clone_prompt = VoiceClonePrompt(
+        speaker_embedding=rs.randn(hidden).astype(np.float32),
+        ref_codes=rs.randint(0, 2048, size=(ref_frames, 16)).astype(np.int32),
+        ref_text_ids=[37 + (i * 53) % 15000 for i in range(12)],
+    )
+    text = CORPUS["short"]
+    frames = PINNED_FRAMES["short"]
+    copts = SynthesisOptions(
+        max_length=frames,
+        min_new_tokens=frames if synthetic else 2,
+        seed=42,
+        chunk_frames=args.chunk_frames,
+        repetition_penalty=1.5,  # the ICL floor applies anyway (pipeline)
+    )
+    for _ in range(args.warmup):
+        for _chunk in model.synthesize_voice_clone_streaming(
+            text, clone_prompt, "english", copts
+        ):
+            pass
+    clone_ttfas, clone_rtfs = [], []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        session = model.synthesize_voice_clone_streaming(
+            text, clone_prompt, "english", copts
+        )
+        total_samples, ttfa = 0, None
+        for chunk in session:
+            if ttfa is None:
+                ttfa = time.perf_counter() - t0
+            total_samples += len(chunk)
+        wall = time.perf_counter() - t0
+        clone_ttfas.append(ttfa)
+        clone_rtfs.append(wall / (total_samples / T.OUTPUT_SAMPLE_RATE))
+    icl = {
+        "ref_frames": ref_frames,
+        "ttfa_ms": round(statistics.mean(clone_ttfas) * 1e3, 1),
+        "streaming_rtf": round(statistics.mean(clone_rtfs), 4),
+    }
+    print(f"icl_clone_streaming: {icl}", file=sys.stderr)
+
     summary = {
         "model": args.ckpt or f"synthetic-{args.size}",
         "corpus": results,
+        "icl_clone_streaming": icl,
         "peak_rss_mb": round(peak_rss_mb(), 1),
     }
     print(json.dumps(summary, indent=2))

@@ -54,9 +54,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Sequential [text || codec] ICL prompt layout (mlx-audio variant)")
     p.add_argument("--dump-codes", action="store_true",
                    help="Write the raw [T,16] int32 code matrix next to the WAV")
+    p.add_argument("--debug-frames", type=int, nargs="?", const=-1, default=None,
+                   metavar="N",
+                   help="Per-frame forensics: print semantic token, top-5 "
+                        "post-penalty logits, and the 15 CP codes for the "
+                        "first N frames (omit N for all). Token stream is "
+                        "identical to the production loop.")
     p.add_argument("--compare", default=None, metavar="DIR",
                    help="Compare codes/audio against reference dumps in DIR "
-                        "(codes_seed{seed}.bin int32 [T,16], audio_seed{seed}.bin f32)")
+                        "(codes_seed{seed}.bin int32 [T,16], audio_seed{seed}.bin "
+                        "f32); reports the FIRST divergent frame and stage")
     p.add_argument("--streaming", action="store_true",
                    help="Stream chunks; prints TTFA and per-chunk timing")
     p.add_argument("--chunk-frames", type=int, default=10)
@@ -167,6 +174,24 @@ def main(argv: list[str] | None = None) -> int:
 
         audio = AudioBuffer(np.concatenate(chunks) if chunks else np.zeros(0), 24000)
         n_frames = session.frames_generated
+    elif args.debug_frames is not None:
+        from .generation.debug import debug_generate
+
+        session = model.synthesize_streaming(args.text, args.speaker, args.language, options)
+        trace = debug_generate(model, session)
+        limit = len(trace.frames) if args.debug_frames < 0 else args.debug_frames
+        for f in trace.frames[:limit]:
+            tops = " ".join(
+                f"{int(i)}:{v:.3f}" for i, v in zip(f.top_ids, f.top_logits)
+            )
+            print(
+                f"frame {f.frame:4d} | semantic {f.semantic_token:4d} | "
+                f"top5 [{tops}] | cp {' '.join(str(int(c)) for c in f.codes)}",
+                file=sys.stderr,
+            )
+        frames = trace.code_matrix()
+        audio = model.decode_codes(frames)
+        n_frames = frames.shape[0]
     elif args.dump_codes or args.compare:
         session = model.synthesize_streaming(args.text, args.speaker, args.language, options)
         frames = session.run_to_completion()
@@ -198,7 +223,7 @@ def main(argv: list[str] | None = None) -> int:
     out_path.parent.mkdir(parents=True, exist_ok=True)
     save_wav(out_path, audio.samples, audio.sample_rate)
 
-    if (args.dump_codes or args.compare) and frames is not None:
+    if (args.dump_codes or args.compare or args.debug_frames is not None) and frames is not None:
         import numpy as np
 
         codes_path = out_path.with_suffix(".codes.bin")
@@ -206,6 +231,8 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Wrote {codes_path} ({frames.shape})", file=sys.stderr)
 
         if args.compare:
+            from .generation.debug import first_divergence
+
             ref_dir = Path(args.compare)
             ref_codes_path = ref_dir / f"codes_seed{args.seed}.bin"
             ref_audio_path = ref_dir / f"audio_seed{args.seed}.bin"
@@ -218,6 +245,16 @@ def main(argv: list[str] | None = None) -> int:
                     f"mismatch fraction {mismatch:.4f} over first {n}",
                     file=sys.stderr,
                 )
+                div = first_divergence(frames, ref_codes)
+                if div is None:
+                    print("compare codes: IDENTICAL", file=sys.stderr)
+                else:
+                    print(
+                        f"compare codes: first divergence at frame {div['frame']} "
+                        f"in {div['stage']}\n"
+                        f"  ours: {div['ours']}\n  ref:  {div['ref']}",
+                        file=sys.stderr,
+                    )
             if ref_audio_path.exists():
                 ref_audio = np.fromfile(ref_audio_path, dtype=np.float32)
                 n = min(len(ref_audio), len(audio.samples))

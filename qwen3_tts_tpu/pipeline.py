@@ -681,13 +681,14 @@ class Qwen3TTS:
     ) -> VoiceClonePrompt:
         """Build x-vector (+ optional ICL) conditioning from reference audio.
 
-        ``pad_to_seconds``: optionally zero-pad the reference to the next
-        multiple of this duration. The speaker/speech encoders compile one
-        XLA program per distinct audio length (the reflect-padded ECAPA stack
-        is not causal, so exact length bucketing is impossible); padding the
-        *audio* to a few standard durations keeps serving deployments on a
-        handful of cached programs. Trailing silence mildly dilutes the
-        pooled x-vector — leave None for exact reference behavior.
+        The speaker encoder buckets mel-frame lengths internally with masked
+        reflection/pooling, so a handful of cached XLA programs serve every
+        audio length with EXACTLY the unpadded x-vector (models/speaker.py).
+
+        ``pad_to_seconds``: legacy knob that zero-pads the reference audio
+        itself before encoding. No longer needed for compile caching and it
+        mildly dilutes the pooled x-vector (padded audio changes the mel);
+        kept for compatibility — prefer the default None.
         """
         if self.speaker_encoder is None:
             hint = {
@@ -732,6 +733,28 @@ class Qwen3TTS:
     ) -> AudioBuffer:
         audio, _ = self.synthesize_voice_clone_debug(text, prompt, language, options)
         return audio
+
+    def synthesize_voice_clone_streaming(
+        self,
+        text: str,
+        prompt: VoiceClonePrompt,
+        language: str = "english",
+        options: SynthesisOptions | None = None,
+    ) -> "StreamingSession":
+        """Streaming voice cloning: chunked audio from an x-vector/ICL prompt.
+
+        Public streaming parity with the reference's generic post-prefill
+        session (StreamingSession::from_prefill, src/lib.rs:1584-1645), which
+        it never exposes for cloning — here it is first-class. In ICL mode
+        the reference codes are decoded as vocoder context ahead of the first
+        chunk and cut from the output, the streaming equivalent of the batch
+        path's prepend-and-proportional-cut (src/lib.rs:1022-1044).
+        """
+        options = options or SynthesisOptions()
+        session, ref_len = self._voice_clone_session(text, prompt, language, options)
+        if ref_len > 0 and prompt.ref_codes is not None:
+            session.prefix_codes = np.asarray(prompt.ref_codes, np.int32)
+        return session
 
     def synthesize_voice_clone_debug(
         self,
@@ -799,6 +822,10 @@ class StreamingSession:
         self.uniforms = uniforms
         self.frames_emitted = 0
         self._exhausted = False
+        # ICL voice cloning: reference codes decoded as vocoder context ahead
+        # of the FIRST chunk, then cut from the output (the streaming
+        # equivalent of the batch path's prepend-and-cut, src/lib.rs:1022-1044).
+        self.prefix_codes: np.ndarray | None = None
 
     @property
     def frames_generated(self) -> int:
@@ -850,19 +877,29 @@ class StreamingSession:
             self._exhausted = True
             return None
         new = np.asarray(frames[self.frames_emitted : n])
+        first_chunk = self.frames_emitted == 0
         self.frames_emitted = n
         if done:
             self._exhausted = True
         # Chunked decode: the vocoder sees only this chunk's context, matching
         # the reference's streaming behavior (frame-count parity, not
         # sample-identical to batch decode).
+        decode_frames = new
+        cut = 0
+        if first_chunk and self.prefix_codes is not None and len(self.prefix_codes):
+            # Voice-clone context: decode [ref || chunk], emit only the chunk
+            # (exact front cut — the vocoder is causal, 1920 samples/frame).
+            decode_frames = np.concatenate(
+                [np.asarray(self.prefix_codes, np.int32), new], axis=0
+            )
+            cut = len(self.prefix_codes) * T.SAMPLES_PER_FRAME
         wav = vocoder.decode_bucketed(
             self.model.vocoder_params,
             self.model.vocoder_config,
-            self.model.codes_to_tensor(new),
+            self.model.codes_to_tensor(decode_frames),
             bucket=max(self.options.chunk_frames, 1),
         )
-        return AudioBuffer(wav[0], T.OUTPUT_SAMPLE_RATE)
+        return AudioBuffer(wav[0][cut:], T.OUTPUT_SAMPLE_RATE)
 
     def __iter__(self):
         return self
