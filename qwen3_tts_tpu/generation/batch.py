@@ -84,6 +84,12 @@ def generate_frames_batch(
     uniforms: jnp.ndarray,  # [B, max_new + 1]
     frame_limit: jnp.ndarray,  # [] shared
 ) -> core.GenState:
+    from dataclasses import replace
+
+    # Tiered decode attention off under vmap: lax.switch with a batched
+    # selector lowers to compute-ALL-branches, which would read ~2x the
+    # cache instead of less (ops/nn.py LayerStackConfig.decode_tiering).
+    tcfg = replace(tcfg, decode_tiering=False)
     return _batched_generate(
         talker_params,
         cp_params,

@@ -66,7 +66,17 @@ def predict_acoustic_codes(
 
     talker_hidden, semantic_embed: [1, 1, embed_dim] (talker hidden size).
     Returns int32 [num_acoustic]. ``hoisted_scan_slices``: see scan_slices().
+
+    With fused+int8 weights the 14 decode steps run through the fused
+    whole-layer Pallas kernels (ops/fused_layer.py) — 2 launches per layer
+    step instead of 4 dequant matmuls plus a dozen XLA glue ops.
     """
+    from ..ops import fused_layer
+
+    if fused_layer.supports_fused_step(params["layers"]):
+        return _predict_acoustic_codes_fused(
+            params, cfg, talker_hidden, semantic_embed, hoisted_scan_slices
+        )
     stack_cfg = cfg.layer_stack()
     cache = nn.init_kv_cache(stack_cfg, batch=1, max_seq=CP_MAX_SEQ, dtype=talker_hidden.dtype)
 
@@ -101,6 +111,61 @@ def predict_acoustic_codes(
     # Group g embeds with table g-1 and predicts with head g.
     xs = hoisted_scan_slices if hoisted_scan_slices is not None else scan_slices(params, cfg)
     (_, _, _), rest = jax.lax.scan(step, init, xs)
+    return jnp.concatenate([code0[None], rest], axis=0)
+
+
+def _predict_acoustic_codes_fused(
+    params: dict,
+    cfg: CodePredictorConfig,
+    talker_hidden: jnp.ndarray,
+    semantic_embed: jnp.ndarray,
+    hoisted_scan_slices=None,
+) -> jnp.ndarray:
+    """Fused-kernel variant of the 15-code frame (identical codes).
+
+    Prefill (2 rows) runs the standard stack once; the cache is then
+    reshaped ONCE into the kernel-native [L, S, KV*D] layout and the 14
+    decode steps scan the two fused whole-layer kernels per layer.
+    """
+    from ..ops import fused_layer
+
+    stack_cfg = cfg.layer_stack()
+    cache = nn.init_kv_cache(stack_cfg, batch=1, max_seq=CP_MAX_SEQ, dtype=talker_hidden.dtype)
+
+    x = jnp.concatenate([talker_hidden, semantic_embed], axis=1)
+    x = _maybe_project(params, x)
+    positions = jnp.arange(2, dtype=jnp.int32)
+    h, cache = nn.run_layer_stack(
+        params["layers"], x, stack_cfg, cache, positions, jnp.int32(0)
+    )
+    h = nn.rms_norm(h, params["norm"], cfg.rms_norm_eps)
+    logits0 = quant.mm(h[:, 1:2, :], _head(params["lm_heads"], 0))
+    code0 = jnp.argmax(logits0[:, 0, :], axis=-1).astype(jnp.int32)[0]
+
+    kvd = stack_cfg.num_kv_heads * stack_cfg.head_dim
+    ck = cache.k.reshape(stack_cfg.num_layers, CP_MAX_SEQ, kvd)
+    cv = cache.v.reshape(stack_cfg.num_layers, CP_MAX_SEQ, kvd)
+    inv_freq = nn.rope_inv_freq(stack_cfg.head_dim, stack_cfg.rope_theta)
+    cos_t, sin_t = nn.rope_cos_sin(
+        jnp.arange(CP_MAX_SEQ, dtype=jnp.float32), inv_freq
+    )
+
+    def step(carry, group_inputs):
+        prev_code, ck, cv, pos = carry
+        embed_table, lm_head = group_inputs
+        x = embed_table[prev_code][None, None, :]
+        x = _maybe_project(params, x)
+        h, ck, cv = fused_layer.run_fused_decode_step(
+            params["layers"], x, stack_cfg, ck, cv, pos, cos_t, sin_t
+        )
+        h = nn.rms_norm(h, params["norm"], cfg.rms_norm_eps)
+        logits = quant.mm(h[:, 0, :], lm_head)
+        code = jnp.argmax(logits, axis=-1).astype(jnp.int32)[0]
+        return (code, ck, cv, pos + 1), code
+
+    init = (code0, ck, cv, jnp.int32(2))
+    xs = hoisted_scan_slices if hoisted_scan_slices is not None else scan_slices(params, cfg)
+    (_, _, _, _), rest = jax.lax.scan(step, init, xs)
     return jnp.concatenate([code0[None], rest], axis=0)
 
 

@@ -38,6 +38,16 @@ class LegacyDecoderConfig:
             t *= r
         return t
 
+    def output_length(self, seq_len: int) -> int:
+        """Exact sample count for ``seq_len`` frames under candle/PyTorch
+        ConvTranspose1d semantics: odd (k - stride) adds one sample per
+        stage (k = 2*ratio, padding (k-stride)//2, decoder.rs:57-82)."""
+        t = seq_len
+        for r in self.upsample_ratios:
+            k, pad = 2 * r, (2 * r - r) // 2
+            t = (t - 1) * r + k - 2 * pad
+        return t
+
 
 def _same_conv(x, kernel, bias):
     """SAME-padded conv on [B, T, C]; kernel [K, Cin, Cout]."""
@@ -50,15 +60,21 @@ def _same_conv(x, kernel, bias):
 
 
 def _trans_conv_same(x, kernel, bias, stride):
-    """Strided transposed conv with symmetric (k - stride)/2 trim -> T*stride."""
+    """Strided transposed conv, candle/PyTorch padding = (k - stride)//2.
+
+    Output length (T-1)*stride + k - 2*pad — i.e. T*stride for even
+    (k - stride), T*stride + 1 when k - stride is odd (ratios 5 and 3 with
+    k = 2*ratio), matching ConvTranspose1d exactly (decoder.rs:57-82).
+    """
     k = kernel.shape[0]
     flipped = jnp.swapaxes(jnp.flip(kernel, 0), 1, 2)
     out = jax.lax.conv_general_dilated(
         x, flipped, (1,), ((k - 1, k - 1),), lhs_dilation=(stride,),
         dimension_numbers=("NWC", "WIO", "NWC"),
-    )
+    )  # full length (T-1)*stride + 2k - 1... minus (k-1) = (T-1)*stride + k
     pad = (k - stride) // 2
-    out = out[:, pad : pad + x.shape[1] * stride, :]
+    full = (x.shape[1] - 1) * stride + k
+    out = out[:, pad : full - pad, :]
     return out + bias if bias is not None else out
 
 
@@ -86,17 +102,22 @@ class CodecDecoder:
         b, s, q, d = emb.shape
         x = emb.reshape(b, s, q * d) @ p["input_proj_w"] + p["input_proj_b"]
 
+        def lin(v, w_key, layer):
+            out = v @ layer[w_key]
+            bias = layer.get(w_key + "_b")
+            return out if bias is None else out + bias
+
         nh = cfg.num_heads
         hd = cfg.hidden_size // nh
         for layer in p["layers"]:
             normed = tnn.rms_norm(x, layer["norm1"], 1e-6)
-            qh = (normed @ layer["q"]).reshape(b, s, nh, hd)
-            kh = (normed @ layer["k"]).reshape(b, s, nh, hd)
-            vh = (normed @ layer["v"]).reshape(b, s, nh, hd)
+            qh = lin(normed, "q", layer).reshape(b, s, nh, hd)
+            kh = lin(normed, "k", layer).reshape(b, s, nh, hd)
+            vh = lin(normed, "v", layer).reshape(b, s, nh, hd)
             attn = tnn.gqa_attention(qh, kh, vh, None, 1.0 / hd**0.5)
-            x = x + attn.reshape(b, s, nh * hd) @ layer["o"]
+            x = x + lin(attn.reshape(b, s, nh * hd), "o", layer)
             normed = tnn.rms_norm(x, layer["norm2"], 1e-6)
-            mlp = jax.nn.silu(normed @ layer["fc1"]) @ layer["fc2"]
+            mlp = lin(jax.nn.silu(lin(normed, "fc1", layer)), "fc2", layer)
             x = x + mlp
         x = tnn.rms_norm(x, p["pre_norm"], 1e-6)
 
@@ -108,6 +129,99 @@ class CodecDecoder:
 
         audio = _same_conv(x, p["final_w"], p["final_b"])
         return audio[..., 0]
+
+    @classmethod
+    def from_weights(
+        cls,
+        weights: dict,
+        cfg: LegacyDecoderConfig = LegacyDecoderConfig(),
+        prefix: str = "",
+    ) -> "CodecDecoder":
+        """Build from safetensors weights (key map: decoder.rs:253-318).
+
+        Keys relative to ``prefix``: ``quantizer.layers.{i}.codebook.weight``,
+        ``input_proj.{weight,bias}``, ``pre_transformer.{i}.self_attn.
+        {q,k,v,o}_proj.* / mlp.fc{1,2}.* / norm{1,2}.weight``,
+        ``pre_norm.weight``, ``upsample.{i}.conv.*`` (ConvTranspose
+        [Cin, Cout, K]), ``residual.{i}.{j}.conv{1,2}.* / norm{1,2}.weight``,
+        ``final_conv.{weight,bias}``.
+        """
+        pre = prefix
+
+        def arr(key):
+            return jnp.asarray(weights[pre + key], jnp.float32)
+
+        def lin_t(key):  # [out, in] -> [in, out]
+            return arr(key + ".weight").T
+
+        def lin_b(key):
+            return arr(key + ".bias")
+
+        def conv_w(key):  # [Cout, Cin, K] -> [K, Cin, Cout]
+            return arr(key + ".weight").transpose(2, 1, 0)
+
+        def tconv_w(key):  # ConvTranspose [Cin, Cout, K] -> [K, Cout, Cin]
+            return arr(key + ".weight").transpose(2, 1, 0)
+
+        layers = []
+        for i in range(cfg.num_layers):
+            lp = f"pre_transformer.{i}."
+            layers.append(
+                {
+                    "norm1": arr(lp + "norm1.weight"),
+                    "q": lin_t(lp + "self_attn.q_proj"),
+                    "q_b": lin_b(lp + "self_attn.q_proj"),
+                    "k": lin_t(lp + "self_attn.k_proj"),
+                    "k_b": lin_b(lp + "self_attn.k_proj"),
+                    "v": lin_t(lp + "self_attn.v_proj"),
+                    "v_b": lin_b(lp + "self_attn.v_proj"),
+                    "o": lin_t(lp + "self_attn.o_proj"),
+                    "o_b": lin_b(lp + "self_attn.o_proj"),
+                    "norm2": arr(lp + "norm2.weight"),
+                    "fc1": lin_t(lp + "mlp.fc1"),
+                    "fc1_b": lin_b(lp + "mlp.fc1"),
+                    "fc2": lin_t(lp + "mlp.fc2"),
+                    "fc2_b": lin_b(lp + "mlp.fc2"),
+                }
+            )
+
+        upsample = []
+        for i, _r in enumerate(cfg.upsample_ratios):
+            res = [
+                {
+                    "norm1": arr(f"residual.{i}.{j}.norm1.weight"),
+                    "conv1_w": conv_w(f"residual.{i}.{j}.conv1"),
+                    "conv1_b": arr(f"residual.{i}.{j}.conv1.bias"),
+                    "norm2": arr(f"residual.{i}.{j}.norm2.weight"),
+                    "conv2_w": conv_w(f"residual.{i}.{j}.conv2"),
+                    "conv2_b": arr(f"residual.{i}.{j}.conv2.bias"),
+                }
+                for j in range(3)
+            ]
+            upsample.append(
+                {
+                    "up_w": tconv_w(f"upsample.{i}.conv"),
+                    "up_b": arr(f"upsample.{i}.conv.bias"),
+                    "res": res,
+                }
+            )
+
+        params = {
+            "codebooks": jnp.stack(
+                [
+                    arr(f"quantizer.layers.{i}.codebook.weight")
+                    for i in range(cfg.num_quantizers)
+                ]
+            ),
+            "input_proj_w": lin_t("input_proj"),
+            "input_proj_b": lin_b("input_proj"),
+            "layers": layers,
+            "pre_norm": arr("pre_norm.weight"),
+            "upsample": upsample,
+            "final_w": conv_w("final_conv"),
+            "final_b": arr("final_conv.bias"),
+        }
+        return cls(params, cfg)
 
     @classmethod
     def random(cls, key, cfg: LegacyDecoderConfig = LegacyDecoderConfig()):

@@ -39,10 +39,16 @@ class TalkerConfig:
     rope_theta: float = 1e6
     max_position_embeddings: int = 32768
     codec_vocab_size: int = 3072
-    # MRoPE section [24, 20, 20] is carried for config parity; for TTS all
-    # three position streams are equal so it reduces to standard RoPE
-    # (reference: src/models/transformer.rs:154-181).
+    # MRoPE section [24, 20, 20]: for TTS all three position streams are
+    # equal so it reduces to standard RoPE, but the full interleaved
+    # machinery is wired (ops/nn.py mrope_cos_sin) and engages whenever the
+    # layer stack receives [3, S] position streams — guarding against a
+    # future checkpoint that conditions T/H/W separately
+    # (reference: src/models/transformer.rs:112-182).
     mrope_section: tuple[int, int, int] | None = (24, 20, 20)
+    # See LayerStackConfig.decode_tiering (measured slower; off by default —
+    # long-generation cost is handled by segmented cache growth instead).
+    decode_tiering: bool = False
 
     def layer_stack(self) -> LayerStackConfig:
         return LayerStackConfig(
@@ -54,6 +60,8 @@ class TalkerConfig:
             head_dim=self.head_dim,
             rms_norm_eps=self.rms_norm_eps,
             rope_theta=self.rope_theta,
+            mrope_section=tuple(self.mrope_section) if self.mrope_section else None,
+            decode_tiering=self.decode_tiering,
         )
 
 

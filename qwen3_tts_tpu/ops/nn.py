@@ -44,6 +44,17 @@ class LayerStackConfig:
     head_dim: int
     rms_norm_eps: float = 1e-6
     rope_theta: float = 1e6
+    # When set, [3, S] position streams use interleaved MRoPE (mrope_cos_sin);
+    # plain [S] positions always use standard RoPE (the two coincide for TTS).
+    mrope_section: tuple[int, int, int] | None = None
+    # Opt-in lax.switch static-window decode attention. MEASURED SLOWER on
+    # TPU v5e (10.96 vs 9.51 ms/frame at the 2048 bucket): the in-loop
+    # branch defeats XLA's pipelining of one dense cache read (journal
+    # R2.2). Long-generation attention cost is instead handled by segmented
+    # cache growth at the session level (pipeline.StreamingSession), which
+    # keeps every compiled program branch-free. Primitive kept
+    # correctness-tested for future work.
+    decode_tiering: bool = False
 
 
 class KVCache(NamedTuple):
@@ -88,10 +99,38 @@ def rope_cos_sin(
 
     The model's MRoPE section [24, 20, 20] degenerates to standard RoPE for
     TTS because all three position streams carry the same value
-    (reference: src/models/transformer.rs:154-181), so a single table suffices.
+    (reference: src/models/transformer.rs:154-181), so a single table
+    suffices. For genuinely multimodal position streams use
+    ``mrope_cos_sin``.
     """
     freqs = positions[..., None].astype(jnp.float32) * inv_freq
     return jnp.cos(freqs), jnp.sin(freqs)
+
+
+def mrope_cos_sin(
+    positions_thw: jnp.ndarray,  # [3, S] temporal/height/width position streams
+    inv_freq: jnp.ndarray,  # [head_dim/2]
+    mrope_section: tuple[int, int, int],
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Interleaved multimodal RoPE tables [S, head_dim/2].
+
+    Frequency-index layout follows the HF Qwen3-Omni interleaved convention
+    (modeling_qwen3_omni_moe.apply_interleaved_mrope): start from the
+    temporal stream everywhere, then the height stream overwrites indices
+    ``1::3`` below ``3*section[1]`` and the width stream ``2::3`` below
+    ``3*section[2]`` — [T H W T H W ... T T], preserving frequency
+    continuity per stream. When the three streams are equal this reduces
+    exactly to ``rope_cos_sin`` (the TTS degeneracy the reference relies on,
+    transformer.rs:112-182); carrying the full machinery guards against a
+    future checkpoint conditioning T/H/W separately.
+    """
+    freqs = positions_thw[:, :, None].astype(jnp.float32) * inv_freq  # [3, S, D/2]
+    idx = jnp.arange(inv_freq.shape[0])
+    h_mask = (idx % 3 == 1) & (idx < 3 * mrope_section[1])
+    w_mask = (idx % 3 == 2) & (idx < 3 * mrope_section[2])
+    out = jnp.where(h_mask, freqs[1], freqs[0])
+    out = jnp.where(w_mask, freqs[2], out)
+    return jnp.cos(out), jnp.sin(out)
 
 
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
@@ -147,6 +186,49 @@ def gqa_attention(
     weights = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     out = jnp.einsum("bkgqs,bskd->bqkgd", weights, v)
     return out.reshape(b, sq, h, d)
+
+
+def decode_attention_tiers(max_seq: int, base: int = 256) -> tuple[int, ...]:
+    """Static cache-window tiers (256, 512, 1024, ..., max_seq)."""
+    tiers: list[int] = []
+    w = base
+    while w < max_seq:
+        tiers.append(w)
+        w *= 2
+    tiers.append(max_seq)
+    return tuple(tiers)
+
+
+def tiered_decode_attention(
+    q: jnp.ndarray,  # [B, 1, H, D]
+    cache_k: jnp.ndarray,  # [B, max_seq, KV, D]
+    cache_v: jnp.ndarray,
+    mask: jnp.ndarray,  # broadcastable to [B, KV, G, 1, max_seq]
+    scale: float,
+    pos: jnp.ndarray,  # [] int32: row just written (highest live index)
+) -> jnp.ndarray:
+    """Decode attention over the smallest static window covering ``pos``.
+
+    ``lax.switch`` selects one of the ``decode_attention_tiers`` windows, so
+    the HBM read per frame tracks the live prefix instead of the full bucket
+    (journal R1.8/R1.9: the blocked flash loop lost to dense XLA attention,
+    but static windows keep XLA's one-big-dense-read pipelining while
+    shrinking the read). Exact: every window covers all unmasked rows.
+    """
+    max_seq = cache_k.shape[1]
+    tiers = decode_attention_tiers(max_seq)
+    idx = jnp.int32(0)
+    for t in tiers[:-1]:
+        idx = idx + (pos + 1 > t).astype(jnp.int32)
+
+    def make_branch(w: int):
+        def branch(args):
+            q_, ck, cv, m = args
+            return gqa_attention(q_, ck[:, :w], cv[:, :w], m[..., :w], scale)
+
+        return branch
+
+    return jax.lax.switch(idx, [make_branch(w) for w in tiers], (q, cache_k, cache_v, mask))
 
 
 DECODE_FLASH_BLOCK = 256
@@ -254,12 +336,15 @@ def _attention_block(
     cache_v = jax.lax.dynamic_update_slice(cache_v, v.astype(cache_v.dtype), (0, write_pos, 0, 0))
 
     scale = 1.0 / (cfg.head_dim**0.5)
-    # Note: decode_attention_flash (blocked online-softmax over live rows
-    # only) was measured SLOWER than this dense full-cache attention at the
-    # 2048-frame bucket (10.08 vs 9.92 ms/frame): the sequential block loop's
-    # overhead exceeds the bandwidth saved — XLA pipelines one big dense read
-    # better. Kept as a primitive for future larger-context work.
-    attn = gqa_attention(q, cache_k, cache_v, mask, scale)
+    # Decode steps use tiered static-window attention (see
+    # tiered_decode_attention). The earlier blocked flash loop
+    # (decode_attention_flash) measured SLOWER than dense (10.08 vs 9.92
+    # ms/frame at the 2048 bucket) because of its sequential block loop;
+    # static windows keep the dense read pattern but shrink it.
+    if s == 1 and cfg.decode_tiering and cache_k.shape[1] > 512 and mask is not None:
+        attn = tiered_decode_attention(q, cache_k, cache_v, mask, scale, write_pos)
+    else:
+        attn = gqa_attention(q, cache_k, cache_v, mask, scale)
     out = mm(attn.reshape(b, s, cfg.num_heads * cfg.head_dim), layer_params["o_proj"])
     return out, cache_k, cache_v
 
@@ -371,7 +456,12 @@ def run_layer_stack(
     max_seq = cache.max_seq
 
     inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta)
-    cos, sin = rope_cos_sin(positions.astype(jnp.float32), inv_freq)
+    if positions.ndim == 2:  # [3, S] multimodal streams -> interleaved MRoPE
+        assert cfg.mrope_section is not None, "mrope positions need mrope_section"
+        cos, sin = mrope_cos_sin(positions, inv_freq, cfg.mrope_section)
+        positions = positions[0]  # temporal stream orders the causal mask
+    else:
+        cos, sin = rope_cos_sin(positions.astype(jnp.float32), inv_freq)
 
     key_pos = jnp.arange(max_seq, dtype=jnp.int32)
     mask = key_pos[None, :] <= positions[:, None]

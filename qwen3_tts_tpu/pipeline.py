@@ -54,6 +54,11 @@ compile_cache.enable()
 FRAME_BUCKETS = (64, 128, 256, 512, 1024, 2048)
 TEXT_BUCKET = 32
 DECODE_BUCKET = 64
+# Sessions start with this frame capacity and grow through FRAME_BUCKETS at
+# segment boundaries (journal R2.2: in-loop window switching measured slower;
+# growing the donated buffers between loop re-entries keeps every program
+# branch-free while attention cost tracks the live tier).
+GROWTH_INITIAL_FRAMES = 256
 
 
 @dataclass(frozen=True)
@@ -332,10 +337,19 @@ class Qwen3TTS:
         return options
 
     def _session_inputs(self, options: SynthesisOptions, prefill_bucket: int):
+        """Initial frame capacity, KV cache, and the FULL uniform stream.
+
+        Long generations start with a small cache and grow it at tier
+        boundaries between loop re-entries (StreamingSession._advance_managed)
+        — dense decode attention then reads only the current tier instead of
+        the worst-case bucket every frame. The uniform stream is precomputed
+        for the full requested length so segmentation never changes sampling.
+        """
         max_new_bucket = next_bucket(options.max_length, buckets=FRAME_BUCKETS)
-        cache = self._new_cache(prefill_bucket, max_new_bucket)
+        initial = min(max_new_bucket, GROWTH_INITIAL_FRAMES)
+        cache = self._new_cache(prefill_bucket, initial)
         uniforms = self._uniforms(options.seed, max_new_bucket)
-        return max_new_bucket, cache, uniforms
+        return initial, cache, uniforms
 
     def _custom_voice_session(
         self, text: str, speaker: str, language: str, options: SynthesisOptions
@@ -849,12 +863,46 @@ class StreamingSession:
             jnp.int32(frame_limit),
         )
 
+    def _grow(self, new_cap: int) -> None:
+        """Extend the donated frames/cache buffers to ``new_cap`` frames."""
+        s = self.state
+        delta = new_cap - s.frames.shape[0]
+        frames = jnp.concatenate(
+            [s.frames, jnp.zeros((delta, s.frames.shape[1]), s.frames.dtype)]
+        )
+        pad = ((0, 0), (0, 0), (0, delta), (0, 0), (0, 0))
+        cache = nn.KVCache(jnp.pad(s.cache.k, pad), jnp.pad(s.cache.v, pad))
+        self.state = s._replace(cache=cache, frames=frames)
+
+    def _advance_managed(self, target: int) -> tuple[int, bool]:
+        """Advance to ``target`` total frames, growing buffers per tier.
+
+        Uniforms are precomputed for the full run and the loop body is
+        position-indexed, so segmentation is token-exact vs a full-size
+        buffer (tested). One counter read per segment (<= 4 per utterance;
+        the reference syncs once per FRAME, src/lib.rs:649).
+        Returns host ints (frames_generated, done).
+        """
+        target = min(target, self.options.max_length)
+        while True:
+            self._advance(target)
+            n, done = jax.device_get((self.state.frame_idx, self.state.done))
+            n, done = int(n), bool(done)
+            cap = self.state.frames.shape[0]
+            if done or n >= target or n < cap:
+                return n, done
+            new_cap = min(
+                next_bucket(cap + 1, buckets=FRAME_BUCKETS),
+                next_bucket(self.options.max_length, buckets=FRAME_BUCKETS),
+            )
+            if new_cap <= cap:
+                return n, done
+            self._grow(new_cap)
+
     def run_to_completion(self) -> np.ndarray:
         """Generate every remaining frame; returns [n, 16] int32."""
-        self._advance(self.options.max_length)
-        # One bulk device_get for everything the host needs.
-        frames, n = jax.device_get((self.state.frames, self.state.frame_idx))
-        n = int(n)
+        n, _ = self._advance_managed(self.options.max_length)
+        frames = jax.device_get(self.state.frames)
         self.frames_emitted = n
         self._exhausted = True
         return np.asarray(frames[:n])
@@ -866,13 +914,9 @@ class StreamingSession:
         target = min(
             self.frames_emitted + self.options.chunk_frames, self.options.max_length
         )
-        self._advance(target)
-        # Single host sync per chunk: frames buffer + counters together.
-        frames, n, done = jax.device_get(
-            (self.state.frames, self.state.frame_idx, self.state.done)
-        )
-        n = int(n)
-        done = bool(done) or n >= self.options.max_length
+        n, done = self._advance_managed(target)
+        frames = jax.device_get(self.state.frames)
+        done = done or n >= self.options.max_length
         if n <= self.frames_emitted:
             self._exhausted = True
             return None

