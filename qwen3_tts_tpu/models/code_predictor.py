@@ -150,13 +150,15 @@ def _predict_acoustic_codes_fused(
         jnp.arange(CP_MAX_SEQ, dtype=jnp.float32), inv_freq
     )
 
+    pack = params.get("stream_pack")
+
     def step(carry, group_inputs):
         prev_code, ck, cv, pos = carry
         embed_table, lm_head = group_inputs
         x = embed_table[prev_code][None, None, :]
         x = _maybe_project(params, x)
         h, ck, cv = fused_layer.run_fused_decode_step(
-            params["layers"], x, stack_cfg, ck, cv, pos, cos_t, sin_t
+            params["layers"], x, stack_cfg, ck, cv, pos, cos_t, sin_t, pack
         )
         h = nn.rms_norm(h, params["norm"], cfg.rms_norm_eps)
         logits = quant.mm(h[:, 0, :], lm_head)

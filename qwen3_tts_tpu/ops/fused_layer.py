@@ -274,13 +274,21 @@ def run_fused_decode_step(
     pos: jnp.ndarray,  # [] int32
     cos_table: jnp.ndarray,  # [S_max, D/2] f32
     sin_table: jnp.ndarray,
+    pack: dict | None = None,
 ):
-    """Scan the fused two-kernel layer step over the stacked layers.
+    """Run one decode step over all layers with fused kernels.
 
-    Caches use the kernel-native [L, S_max, KV*D] layout (see
-    code_predictor's fused path for the one-time conversion after prefill).
+    With a stream ``pack`` (make_stream_pack), the WHOLE step is one
+    streaming kernel (weights double-buffered from HBM); otherwise the
+    two-kernel-per-layer scan. Caches use the kernel-native
+    [L, S_max, KV*D] layout (see code_predictor's fused path for the
+    one-time conversion after prefill).
     Returns (hidden [1, 1, H], cache_k, cache_v).
     """
+    if pack is not None:
+        return streamed_decode_step(
+            stacked_layers, pack, x, cfg, cache_k, cache_v, pos, cos_table, sin_table
+        )
     h = x.reshape(1, cfg.hidden_size)
     # One dynamic row slice per STEP (outside the layer scan): in-kernel
     # dynamic sublane reads fail Mosaic's alignment check.
@@ -299,3 +307,300 @@ def run_fused_decode_step(
 
     h, (new_k, new_v) = jax.lax.scan(body, h, (stacked_layers, cache_k, cache_v))
     return h.reshape(1, 1, cfg.hidden_size), new_k, new_v
+
+
+# ---------------------------------------------------------------------------
+# Streamed whole-step kernel: one pallas_call per decode step, weights
+# double-buffer-streamed from HBM.
+# ---------------------------------------------------------------------------
+#
+# Journal R2.3: profiling showed the int8 loop is NOT launch-bound — the
+# per-layer weight movement (scan slice -> VMEM, then kernel) serializes
+# with compute, so int8 ran at bf16 speed. XLA cannot overlap a custom
+# call's operand stream with the previous call's compute, and unrolling the
+# layer loop does not change that. The fix is owning the weight movement:
+# ONE kernel per decode step keeps the int8 weights in HBM as uniform
+# [H, H] tiles and streams them through a small VMEM ring with
+# `make_async_copy`, prefetching tile t+NBUF-1 while tile t computes. All
+# tile indices are static (Python-unrolled), so the DMA queue needs no
+# dynamic indexing. Compute order per layer: qkv N-tiles -> QK-norm ->
+# RoPE -> cache append -> attention -> o K-tiles -> residual ->
+# gate|up N-tiles -> SiLU -> down K-tiles -> residual.
+#
+# K-split matmuls (o, down) accumulate partial f32 dots; the summation
+# order differs from one whole dot by float rounding only — greedy codes
+# remain identical in practice (tested), activations agree to ~1e-6.
+
+STREAM_NBUF = 4  # prefetch depth (CP tiles are H*H int8 = 1 MB each)
+
+
+def make_stream_pack(stacked_layers: dict, cfg) -> dict | None:
+    """Re-layout a fused+int8 layer stack into uniform [H, H] stream tiles.
+
+    Returns {"tiles": s8 [L, T, H, H], "scales": {...}, "plan": (nq, ko,
+    ng, kd)} or None when the dims don't tile evenly. Run once at load
+    time — the pack is a device-resident re-layout of the weights
+    (the original stacked tree stays canonical for everything else).
+    """
+    if not supports_fused_step(stacked_layers):
+        return None
+    h = stacked_layers["input_ln"].shape[-1]
+    qkv = stacked_layers["qkv_proj"]
+    o = stacked_layers["o_proj"]
+    gu = stacked_layers["gateup_proj"]
+    down = stacked_layers["down_proj"]
+    L, _, nq_dim = qkv["q8"].shape
+    dq = o["q8"].shape[1]
+    ng_dim = gu["q8"].shape[2]
+    inter = down["q8"].shape[1]
+    if any(dim % h for dim in (nq_dim, dq, ng_dim, inter)):
+        return None
+    nq, ko, ng, kd = nq_dim // h, dq // h, ng_dim // h, inter // h
+
+    def n_tiles(q8):  # [L, H, n*H] -> [L, n, H, H]
+        return q8.reshape(L, h, -1, h).transpose(0, 2, 1, 3)
+
+    def k_tiles(q8):  # [L, k*H, H] -> [L, k, H, H]
+        return q8.reshape(L, -1, h, h)
+
+    tiles = jnp.concatenate(
+        [n_tiles(qkv["q8"]), k_tiles(o["q8"]), n_tiles(gu["q8"]), k_tiles(down["q8"])],
+        axis=1,
+    )  # [L, nq+ko+ng+kd, H, H]
+    return {
+        "tiles": tiles,
+        "scales": {
+            "qkv": qkv["scale"].astype(jnp.float32),  # [L, nq*H]
+            "o": o["scale"].astype(jnp.float32),  # [L, H]
+            "gu": gu["scale"].astype(jnp.float32),  # [L, ng*H]
+            "down": down["scale"].astype(jnp.float32),  # [L, H]
+        },
+        "plan": (nq, ko, ng, kd),
+    }
+
+
+def _streamed_step_kernel(
+    pos_ref,  # SMEM [1] int32
+    x_ref,  # [1, H] bf16
+    input_ln_ref,  # [L, H]
+    post_ln_ref,  # [L, H]
+    qn_ref,  # [L, D]
+    kn_ref,  # [L, D]
+    cos_ref,  # [1, D/2] f32
+    sin_ref,
+    sqkv_ref,  # [L, nq*H] f32
+    so_ref,  # [L, H] f32
+    sgu_ref,  # [L, ng*H] f32
+    sdown_ref,  # [L, H] f32
+    ck_ref,  # [L, S, KV*D] bf16 (aliased)
+    cv_ref,
+    tiles_ref,  # [L, T, H, H] s8 in HBM/ANY
+    y_ref,  # out [1, H]
+    ck_out_ref,
+    cv_out_ref,
+    wbuf,  # scratch [NBUF, H, H] s8
+    sems,  # DMA semaphores [NBUF]
+    *,
+    layers: int,
+    plan: tuple[int, int, int, int],
+    heads: int,
+    kv_heads: int,
+    head_dim: int,
+    eps: float,
+):
+    nq, ko, ng, kd = plan
+    tiles_per_layer = nq + ko + ng + kd
+    total = layers * tiles_per_layer
+    h_size = x_ref.shape[-1]
+    hh, kv, d = heads, kv_heads, head_dim
+    q_dim, kv_dim = hh * d, kv * d
+    pos = pos_ref[0]
+    nbuf = wbuf.shape[0]
+
+    def dma(t: int):
+        l, j = divmod(t, tiles_per_layer)
+        slot = t % nbuf
+        return pltpu.make_async_copy(tiles_ref.at[l, j], wbuf.at[slot], sems.at[slot])
+
+    for t in range(min(nbuf - 1, total)):
+        dma(t).start()
+
+    state = {"t": 0}
+
+    def consume() -> jnp.ndarray:
+        t = state["t"]
+        if t + nbuf - 1 < total:
+            dma(t + nbuf - 1).start()
+        dma(t).wait()
+        w = wbuf[t % nbuf].astype(jnp.bfloat16)
+        state["t"] = t + 1
+        return w
+
+    cos = cos_ref[:].astype(jnp.bfloat16)
+    sin = sin_ref[:].astype(jnp.bfloat16)
+    half = d // 2
+    s_max = ck_ref.shape[1]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (s_max, 1), 0)
+    live = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s_max), 2) <= pos
+    scale_f = jnp.float32(1.0 / d**0.5)
+
+    x = x_ref[:]
+    for l in range(layers):
+        # --- attention sublayer ---
+        normed = _rms(x.astype(jnp.float32), input_ln_ref[l][None, :], eps).astype(
+            jnp.bfloat16
+        )
+        parts = []
+        for j in range(nq):
+            w = consume()
+            acc = jnp.dot(normed, w, preferred_element_type=jnp.float32)
+            parts.append(acc * sqkv_ref[l, j * h_size : (j + 1) * h_size][None, :])
+        qkv = jnp.concatenate(parts, axis=-1).astype(x.dtype)  # [1, NQ]
+
+        q = qkv[0, :q_dim].reshape(hh, d)
+        k = qkv[0, q_dim : q_dim + kv_dim].reshape(kv, d)
+        v = qkv[0, q_dim + kv_dim :].reshape(kv, d)
+        q = _rms(q.astype(jnp.float32), qn_ref[l], eps).astype(x.dtype)
+        k = _rms(k.astype(jnp.float32), kn_ref[l], eps).astype(x.dtype)
+
+        def rope(tt):
+            t1, t2 = tt[:, :half], tt[:, half:]
+            return jnp.concatenate([t1 * cos - t2 * sin, t2 * cos + t1 * sin], axis=-1)
+
+        q = rope(q)
+        k = rope(k)
+
+        is_pos = row_ids == pos
+        new_k = jnp.where(
+            is_pos, jnp.broadcast_to(k.reshape(1, kv_dim), (s_max, kv_dim)), ck_ref[l]
+        )
+        new_v = jnp.where(
+            is_pos, jnp.broadcast_to(v.reshape(1, kv_dim), (s_max, kv_dim)), cv_ref[l]
+        )
+        ck_out_ref[l] = new_k
+        cv_out_ref[l] = new_v
+
+        keys = new_k.reshape(s_max, kv, d)
+        vals = new_v.reshape(s_max, kv, d)
+        g = hh // kv
+        qg = q.reshape(kv, g, d)
+        scores = jax.lax.dot_general(
+            qg, keys.transpose(1, 2, 0), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale_f
+        scores = jnp.where(live, scores, jnp.float32(-1e30))
+        weights = jax.nn.softmax(scores, axis=-1).astype(vals.dtype)
+        attn = jax.lax.dot_general(
+            weights, vals.transpose(1, 0, 2), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16).reshape(1, q_dim)
+
+        o_acc = jnp.zeros((1, h_size), jnp.float32)
+        for kk in range(ko):
+            w = consume()
+            o_acc = o_acc + jnp.dot(
+                attn[:, kk * h_size : (kk + 1) * h_size], w,
+                preferred_element_type=jnp.float32,
+            )
+        x = x + (o_acc * so_ref[l][None, :]).astype(x.dtype)
+
+        # --- MLP sublayer ---
+        normed = _rms(x.astype(jnp.float32), post_ln_ref[l][None, :], eps).astype(
+            jnp.bfloat16
+        )
+        parts = []
+        for j in range(ng):
+            w = consume()
+            acc = jnp.dot(normed, w, preferred_element_type=jnp.float32)
+            parts.append(acc * sgu_ref[l, j * h_size : (j + 1) * h_size][None, :])
+        gu = jnp.concatenate(parts, axis=-1).astype(x.dtype)  # [1, 2I]
+        inter = kd * h_size
+        gf = gu[:, :inter].astype(jnp.float32)
+        silu = (gf * (1.0 / (1.0 + jnp.exp(-gf)))).astype(x.dtype)
+        act = (silu * gu[:, inter:]).astype(jnp.bfloat16)
+
+        d_acc = jnp.zeros((1, h_size), jnp.float32)
+        for kk in range(kd):
+            w = consume()
+            d_acc = d_acc + jnp.dot(
+                act[:, kk * h_size : (kk + 1) * h_size], w,
+                preferred_element_type=jnp.float32,
+            )
+        x = x + (d_acc * sdown_ref[l][None, :]).astype(x.dtype)
+
+    y_ref[:] = x
+
+
+def streamed_decode_step(
+    stacked_layers: dict,
+    pack: dict,
+    x: jnp.ndarray,  # [1, 1, H]
+    cfg,
+    cache_k: jnp.ndarray,  # [L, S_max, KV*D]
+    cache_v: jnp.ndarray,
+    pos: jnp.ndarray,
+    cos_table: jnp.ndarray,
+    sin_table: jnp.ndarray,
+):
+    """One whole decode step (all layers) as a single streaming kernel."""
+    h_size = cfg.hidden_size
+    layers = cache_k.shape[0]
+    # Derive the tile plan statically from cfg — pack["plan"] rides through
+    # jit as traced leaves and must not reach Python control flow.
+    q_dim = cfg.num_heads * cfg.head_dim
+    kv_dim = cfg.num_kv_heads * cfg.head_dim
+    plan = (
+        (q_dim + 2 * kv_dim) // h_size,
+        q_dim // h_size,
+        2 * cfg.intermediate_size // h_size,
+        cfg.intermediate_size // h_size,
+    )
+    cos_row = jax.lax.dynamic_slice_in_dim(cos_table, pos, 1, axis=0)
+    sin_row = jax.lax.dynamic_slice_in_dim(sin_table, pos, 1, axis=0)
+    kernel = functools.partial(
+        _streamed_step_kernel,
+        layers=layers,
+        plan=plan,
+        heads=cfg.num_heads,
+        kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim,
+        eps=cfg.rms_norm_eps,
+    )
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    y, ck, cv = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, h_size), x.dtype),
+            jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+            jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            vm, vm, vm, vm, vm, vm, vm, vm, vm, vm, vm, vm, vm,
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(vm, vm, vm),
+        scratch_shapes=[
+            pltpu.VMEM((STREAM_NBUF, h_size, h_size), jnp.int8),
+            pltpu.SemaphoreType.DMA((STREAM_NBUF,)),
+        ],
+        input_output_aliases={12: 1, 13: 2},
+        interpret=_interpret(),
+    )(
+        pos.reshape(1).astype(jnp.int32),
+        x.reshape(1, h_size),
+        stacked_layers["input_ln"],
+        stacked_layers["post_ln"],
+        stacked_layers["q_norm"],
+        stacked_layers["k_norm"],
+        cos_row,
+        sin_row,
+        pack["scales"]["qkv"],
+        pack["scales"]["o"],
+        pack["scales"]["gu"],
+        pack["scales"]["down"],
+        cache_k,
+        cache_v,
+        pack["tiles"],
+    )
+    return y.reshape(1, 1, h_size), ck, cv

@@ -143,6 +143,11 @@ def code_predictor_specs(cfg: CodePredictorConfig, params: dict | None = None) -
     }
     if cfg.needs_projection:
         specs["mtp_proj"] = {"w": P(None, None), "b": P(None)}
+    if params is not None and "stream_pack" in params:
+        # The HBM stream-tile re-layout (single-chip streaming kernel) is
+        # replicated under tp — the kernel is a per-chip fast path and the
+        # canonical sharded tree remains authoritative.
+        specs["stream_pack"] = jax.tree.map(lambda _: P(), params["stream_pack"])
     return specs
 
 

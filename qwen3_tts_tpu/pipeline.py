@@ -153,6 +153,16 @@ class Qwen3TTS:
                 cp_params = W.fuse_model_params(cp_params)
             talker_params = Q.quantize_talker_params(talker_params)
             cp_params = Q.quantize_code_predictor_params(cp_params)
+            # One-time re-layout of the CP weights into HBM stream tiles for
+            # the whole-step streaming kernel (ops/fused_layer.py, journal
+            # R2.3). Costs one extra int8 copy of the CP weights in HBM.
+            from .ops import fused_layer as FL
+
+            pack = FL.make_stream_pack(
+                cp_params["layers"], config.code_predictor.layer_stack()
+            )
+            if pack is not None:
+                cp_params["stream_pack"] = pack
         self.talker_params = talker_params
         self.cp_params = cp_params
         # Activation compute dtype (norm weights are never quantized).

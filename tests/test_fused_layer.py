@@ -122,3 +122,80 @@ def test_fused_in_generation_loop():
     frames = np.asarray(final.frames[: int(final.frame_idx)])
     assert frames.shape[1] == 16
     assert (frames[:, 1:] < CFG.vocab_size).all() and (frames >= 0).all()
+
+
+STREAM_CFG = CodePredictorConfig(
+    hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+    num_attention_heads=4, num_key_value_heads=2, head_dim=16, vocab_size=128,
+)
+
+
+def test_make_stream_pack_shapes():
+    params = _quantized_params(jax.random.PRNGKey(4), STREAM_CFG)
+    pack = fused_layer.make_stream_pack(params["layers"], STREAM_CFG.layer_stack())
+    assert pack is not None
+    nq, ko, ng, kd = pack["plan"]
+    h = STREAM_CFG.hidden_size
+    assert (nq, ko, ng, kd) == (2, 1, 4, 2)  # qkv 128, o K 64, gu 256, down K 128
+    assert pack["tiles"].shape == (2, nq + ko + ng + kd, h, h)
+    assert pack["tiles"].dtype == jnp.int8
+    # Non-divisible dims -> no pack, graceful fallback.
+    odd = _quantized_params(jax.random.PRNGKey(5), CFG)  # inter 96 not % 64
+    assert fused_layer.make_stream_pack(odd["layers"], CFG.layer_stack()) is None
+
+
+def test_streamed_codes_match_unfused(monkeypatch):
+    """The whole-step streaming kernel produces identical codes."""
+    params = _quantized_params(jax.random.PRNGKey(6), STREAM_CFG)
+    pack = fused_layer.make_stream_pack(params["layers"], STREAM_CFG.layer_stack())
+    assert pack is not None
+    params_stream = dict(params)
+    params_stream["stream_pack"] = pack
+
+    rs = np.random.RandomState(2)
+    hidden = jnp.asarray(rs.randn(1, 1, STREAM_CFG.hidden_size).astype(np.float32))
+    semantic = jnp.asarray(rs.randn(1, 1, STREAM_CFG.hidden_size).astype(np.float32))
+    got = np.asarray(
+        cp.predict_acoustic_codes(params_stream, STREAM_CFG, hidden, semantic)
+    )
+
+    monkeypatch.setattr(fused_layer, "supports_fused_step", lambda layers: False)
+    want = np.asarray(cp.predict_acoustic_codes(params, STREAM_CFG, hidden, semantic))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_streamed_step_activations_close():
+    """Streamed step vs two-kernel fused step, same cache/inputs."""
+    from qwen3_tts_tpu.ops import nn
+
+    params = _quantized_params(jax.random.PRNGKey(7), STREAM_CFG)
+    stack_cfg = STREAM_CFG.layer_stack()
+    pack = fused_layer.make_stream_pack(params["layers"], stack_cfg)
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.randn(1, 1, STREAM_CFG.hidden_size).astype(np.float32),
+                    jnp.bfloat16)
+    kvd = stack_cfg.num_kv_heads * stack_cfg.head_dim
+    ck = jnp.asarray(rs.randn(2, cp.CP_MAX_SEQ, kvd).astype(np.float32), jnp.bfloat16)
+    cv = jnp.asarray(rs.randn(2, cp.CP_MAX_SEQ, kvd).astype(np.float32), jnp.bfloat16)
+    inv_freq = nn.rope_inv_freq(stack_cfg.head_dim, stack_cfg.rope_theta)
+    cos_t, sin_t = nn.rope_cos_sin(jnp.arange(cp.CP_MAX_SEQ, dtype=jnp.float32), inv_freq)
+    pos = jnp.int32(3)
+
+    h_ref, ck_ref, cv_ref = fused_layer.run_fused_decode_step(
+        params["layers"], x, stack_cfg, ck, cv, pos, cos_t, sin_t
+    )
+    h_s, ck_s, cv_s = fused_layer.run_fused_decode_step(
+        params["layers"], x, stack_cfg, ck, cv, pos, cos_t, sin_t, pack
+    )
+    np.testing.assert_allclose(
+        np.asarray(h_s, np.float32), np.asarray(h_ref, np.float32), rtol=0, atol=2e-2
+    )
+    # K-split o/down matmuls change f32 summation order -> layer outputs can
+    # differ by ~1 bf16 ulp, which shifts the NEXT layer's written cache row.
+    # Untouched rows are bit-identical; written rows agree to bf16 ulp.
+    np.testing.assert_allclose(
+        np.asarray(ck_s, np.float32), np.asarray(ck_ref, np.float32), rtol=0.02, atol=0.02
+    )
+    np.testing.assert_allclose(
+        np.asarray(cv_s, np.float32), np.asarray(cv_ref, np.float32), rtol=0.02, atol=0.02
+    )
