@@ -90,6 +90,11 @@ def generate_frames_batch(
     # selector lowers to compute-ALL-branches, which would read ~2x the
     # cache instead of less (ops/nn.py LayerStackConfig.decode_tiering).
     tcfg = replace(tcfg, decode_tiering=False)
+    # The streaming whole-step kernels (manual DMA, aliased HBM caches) are
+    # strictly batch-1; strip the packs so vmapped streams use the generic
+    # fused/XLA paths.
+    talker_params = {k: v for k, v in talker_params.items() if k != "stream_pack"}
+    cp_params = {k: v for k, v in cp_params.items() if k != "stream_pack"}
     return _batched_generate(
         talker_params,
         cp_params,

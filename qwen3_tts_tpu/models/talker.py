@@ -31,7 +31,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops import nn
+from ..ops import fused_layer, nn
 from . import tokens as T
 from .config import TalkerConfig
 
@@ -281,8 +281,35 @@ def decode_step(
 ) -> tuple[jnp.ndarray, jnp.ndarray, nn.KVCache]:
     """One generation step with a pre-fused input embedding [1, 1, hidden].
 
-    Returns (normed hidden [1,1,hidden], logits [1, codec_vocab], cache).
+    With int8 stream-packed weights and a cache small enough for the VMEM
+    slices, the whole 28-layer step runs as ONE streaming Pallas kernel
+    (ops/fused_layer.streamed_talker_step, journal R2.4); otherwise the
+    standard XLA layer scan. Returns (normed hidden [1,1,hidden],
+    logits [1, codec_vocab], cache).
     """
+    pack = params.get("stream_pack")
+    stack_cfg = cfg.layer_stack()
+    if (
+        pack is not None
+        and cache.k.shape[1] == 1  # batch 1 (manual-DMA kernel is unbatched)
+        and cache.max_seq <= fused_layer.TALKER_STREAM_MAX_SEQ
+    ):
+        kvd = stack_cfg.num_kv_heads * stack_cfg.head_dim
+        shape5 = cache.k.shape
+        ck = cache.k.reshape(stack_cfg.num_layers, cache.max_seq, kvd)
+        cv = cache.v.reshape(stack_cfg.num_layers, cache.max_seq, kvd)
+        inv_freq = nn.rope_inv_freq(stack_cfg.head_dim, stack_cfg.rope_theta)
+        cos_row, sin_row = nn.rope_cos_sin(
+            pos.astype(jnp.float32)[None], inv_freq
+        )
+        h, ck, cv = fused_layer.streamed_talker_step(
+            params["layers"], pack, step_embed, stack_cfg, ck, cv, pos,
+            cos_row, sin_row,
+        )
+        h = nn.rms_norm(h, params["norm"], cfg.rms_norm_eps)
+        cache = nn.KVCache(ck.reshape(shape5), cv.reshape(shape5))
+        logits = codec_logits(params, h)[:, 0, :]
+        return h, logits, cache
     positions = pos[None].astype(jnp.int32)
     h, cache = forward(params, cfg, step_embed, cache, positions, pos)
     logits = codec_logits(params, h)[:, 0, :]

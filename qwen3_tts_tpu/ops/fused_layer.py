@@ -331,7 +331,7 @@ def run_fused_decode_step(
 # order differs from one whole dot by float rounding only — greedy codes
 # remain identical in practice (tested), activations agree to ~1e-6.
 
-STREAM_NBUF = 4  # prefetch depth (CP tiles are H*H int8 = 1 MB each)
+STREAM_NBUF = 8  # prefetch depth (CP tiles are H*H int8 = 1 MB each)
 
 
 def make_stream_pack(stacked_layers: dict, cfg) -> dict | None:
@@ -446,15 +446,16 @@ def _streamed_step_kernel(
 
     x = x_ref[:]
     for l in range(layers):
-        # --- attention sublayer ---
-        normed = _rms(x.astype(jnp.float32), input_ln_ref[l][None, :], eps).astype(
+        # --- attention sublayer (per-layer vectors stored [L, 1, N]) ---
+        normed = _rms(x.astype(jnp.float32), input_ln_ref[l], eps).astype(
             jnp.bfloat16
         )
+        sqkv = sqkv_ref[l]  # [1, nq*H]
         parts = []
         for j in range(nq):
             w = consume()
             acc = jnp.dot(normed, w, preferred_element_type=jnp.float32)
-            parts.append(acc * sqkv_ref[l, j * h_size : (j + 1) * h_size][None, :])
+            parts.append(acc * sqkv[:, j * h_size : (j + 1) * h_size])
         qkv = jnp.concatenate(parts, axis=-1).astype(x.dtype)  # [1, NQ]
 
         q = qkv[0, :q_dim].reshape(hh, d)
@@ -502,17 +503,18 @@ def _streamed_step_kernel(
                 attn[:, kk * h_size : (kk + 1) * h_size], w,
                 preferred_element_type=jnp.float32,
             )
-        x = x + (o_acc * so_ref[l][None, :]).astype(x.dtype)
+        x = x + (o_acc * so_ref[l]).astype(x.dtype)
 
         # --- MLP sublayer ---
-        normed = _rms(x.astype(jnp.float32), post_ln_ref[l][None, :], eps).astype(
+        normed = _rms(x.astype(jnp.float32), post_ln_ref[l], eps).astype(
             jnp.bfloat16
         )
+        sgu = sgu_ref[l]  # [1, ng*H]
         parts = []
         for j in range(ng):
             w = consume()
             acc = jnp.dot(normed, w, preferred_element_type=jnp.float32)
-            parts.append(acc * sgu_ref[l, j * h_size : (j + 1) * h_size][None, :])
+            parts.append(acc * sgu[:, j * h_size : (j + 1) * h_size])
         gu = jnp.concatenate(parts, axis=-1).astype(x.dtype)  # [1, 2I]
         inter = kd * h_size
         gf = gu[:, :inter].astype(jnp.float32)
@@ -526,7 +528,7 @@ def _streamed_step_kernel(
                 act[:, kk * h_size : (kk + 1) * h_size], w,
                 preferred_element_type=jnp.float32,
             )
-        x = x + (d_acc * sdown_ref[l][None, :]).astype(x.dtype)
+        x = x + (d_acc * sdown_ref[l]).astype(x.dtype)
 
     y_ref[:] = x
 
@@ -577,7 +579,7 @@ def streamed_decode_step(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             vm, vm, vm, vm, vm, vm, vm, vm, vm, vm, vm, vm, vm,
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=(vm, vm, vm),
         scratch_shapes=[
@@ -585,20 +587,328 @@ def streamed_decode_step(
             pltpu.SemaphoreType.DMA((STREAM_NBUF,)),
         ],
         input_output_aliases={12: 1, 13: 2},
+        # Mosaic's scoped-VMEM accounting sums every unrolled int8->bf16 tile
+        # temp (12 x 8.4 MB at talker dims) against a conservative 16 MB
+        # default; v5e VMEM is far larger. Raise the soft limit.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=_interpret(),
     )(
         pos.reshape(1).astype(jnp.int32),
         x.reshape(1, h_size),
-        stacked_layers["input_ln"],
-        stacked_layers["post_ln"],
-        stacked_layers["q_norm"],
-        stacked_layers["k_norm"],
+        stacked_layers["input_ln"][:, None, :],
+        stacked_layers["post_ln"][:, None, :],
+        stacked_layers["q_norm"][:, None, :],
+        stacked_layers["k_norm"][:, None, :],
         cos_row,
         sin_row,
-        pack["scales"]["qkv"],
-        pack["scales"]["o"],
-        pack["scales"]["gu"],
-        pack["scales"]["down"],
+        pack["scales"]["qkv"][:, None, :],
+        pack["scales"]["o"][:, None, :],
+        pack["scales"]["gu"][:, None, :],
+        pack["scales"]["down"][:, None, :],
+        cache_k,
+        cache_v,
+        pack["tiles"],
+    )
+    return y.reshape(1, 1, h_size), ck, cv
+
+
+# ---------------------------------------------------------------------------
+# Streamed talker decode step: fori over layers, weights + cache streamed.
+# ---------------------------------------------------------------------------
+#
+# Journal R2.4: the talker's int8 step has the same serialization (3.46
+# ms/frame vs a ~2.2 ms int8 stream bound). Same cure, different scale:
+# 28 layers x 12 [H, H] tiles (H = 2048, 4.2 MB each) stream through a
+# 2-slot ring while a lax.fori_loop walks the layers (Python-unrolling 28
+# layers would explode the Mosaic program). The KV cache stays in HBM and
+# each layer's [S, KV*D] slices are DMA'd in at layer start (hidden under
+# the qkv tiles) and the new row DMA'd back out. VMEM: ring 8.4 MB +
+# cache slices 2*S*KVD*2B + scales — fits for S <= ~530, which segmented
+# growth makes the common case; larger segments fall back to the XLA path.
+
+TALKER_STREAM_NBUF = 6
+TALKER_STREAM_MAX_SEQ = 560  # VMEM budget bound for the cache slices
+
+
+def _streamed_talker_kernel(
+    pos_ref,  # SMEM [1] int32
+    x_ref,  # [1, H] bf16
+    input_ln_ref,  # [L, H]
+    post_ln_ref,  # [L, H]
+    qn_ref,  # [L, D]
+    kn_ref,  # [L, D]
+    cos_ref,  # [1, D/2]
+    sin_ref,
+    sqkv_ref,  # [L, nq*H] f32
+    so_ref,  # [L, H]
+    sgu_ref,  # [L, ng*H]
+    sdown_ref,  # [L, H]
+    ck_hbm,  # [L, S, KV*D] bf16 in HBM (aliased out)
+    cv_hbm,
+    tiles_ref,  # [L, T, H, H] s8 in HBM
+    y_ref,  # out [1, H] VMEM
+    ck_out,  # aliased HBM
+    cv_out,
+    wbuf,  # [NBUF, H, H] s8 VMEM
+    kbuf,  # [2, S, KV*D] bf16 VMEM (layer-parity double buffer)
+    vbuf,
+    wsem,  # DMA sems [NBUF]
+    csem,  # DMA sems [2, 2] (slot, k/v) cache-plane loads
+    rsem,  # DMA sems [2, 2] (slot, k/v) cache-plane write-backs
+    *,
+    layers: int,
+    plan: tuple[int, int, int, int],
+    heads: int,
+    kv_heads: int,
+    head_dim: int,
+    eps: float,
+):
+    nq, ko, ng, kd = plan
+    tpl = nq + ko + ng + kd
+    h_size = x_ref.shape[-1]
+    hh, kv, d = heads, kv_heads, head_dim
+    q_dim, kv_dim = hh * d, kv * d
+    inter = kd * h_size
+    pos = pos_ref[0]
+    nbuf = wbuf.shape[0]
+    s_max = kbuf.shape[1]
+
+    def wdma(t):
+        l = t // tpl
+        j = t % tpl
+        return pltpu.make_async_copy(tiles_ref.at[l, j], wbuf.at[t % nbuf], wsem.at[t % nbuf])
+
+    def cache_load(l, slot):
+        return (
+            pltpu.make_async_copy(ck_hbm.at[l], kbuf.at[slot], csem.at[slot, 0]),
+            pltpu.make_async_copy(cv_hbm.at[l], vbuf.at[slot], csem.at[slot, 1]),
+        )
+
+    def cache_store(l, slot):
+        """Whole-plane write-back: HBM memrefs are (8,128)-tiled, so a
+        single-row DMA is not expressible; a full [S, KV*D] plane is, and
+        costs only ~0.6 MB per layer."""
+        return (
+            pltpu.make_async_copy(kbuf.at[slot], ck_out.at[l], rsem.at[slot, 0]),
+            pltpu.make_async_copy(vbuf.at[slot], cv_out.at[l], rsem.at[slot, 1]),
+        )
+
+    # Warm up: first weight tiles + layer 0's cache planes into slot 0.
+    for t in range(nbuf - 1):
+        wdma(t).start()
+    dk, dv = cache_load(0, 0)
+    dk.start()
+    dv.start()
+
+    cos = cos_ref[:].astype(jnp.bfloat16)
+    sin = sin_ref[:].astype(jnp.bfloat16)
+    half = d // 2
+    live = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s_max), 2) <= pos
+    scale_f = jnp.float32(1.0 / d**0.5)
+    row_sel = jax.lax.broadcasted_iota(jnp.int32, (s_max, 1), 0) == pos
+
+    def consume(t):
+        """Wait tile t, return it as bf16, prefetch t + nbuf - 1."""
+        @pl.when(t + nbuf - 1 < layers * tpl)
+        def _():
+            wdma(t + nbuf - 1).start()
+        wdma(t).wait()
+        return wbuf[t % nbuf].astype(jnp.bfloat16)
+
+    def layer_body(l, x):
+        t0 = l * tpl
+        # Per-layer vectors are stored [L, 1, N]: dynamic indexing is only
+        # alignment-provable on the leading (non-tiled) dim.
+        normed = _rms(x.astype(jnp.float32), input_ln_ref[l], eps).astype(
+            jnp.bfloat16
+        )
+        sqkv = sqkv_ref[l]  # [1, nq*H]
+        parts = []
+        for j in range(nq):
+            w = consume(t0 + j)
+            acc = jnp.dot(normed, w, preferred_element_type=jnp.float32)
+            parts.append(acc * sqkv[:, j * h_size : (j + 1) * h_size])
+        qkv = jnp.concatenate(parts, axis=-1).astype(x.dtype)
+
+        q = qkv[0, :q_dim].reshape(hh, d)
+        k = qkv[0, q_dim : q_dim + kv_dim].reshape(kv, d)
+        v = qkv[0, q_dim + kv_dim :].reshape(kv, d)
+        q = _rms(q.astype(jnp.float32), qn_ref[l], eps).astype(x.dtype)  # qn [1, D]
+        k = _rms(k.astype(jnp.float32), kn_ref[l], eps).astype(x.dtype)
+
+        def rope(tt):
+            t1, t2 = tt[:, :half], tt[:, half:]
+            return jnp.concatenate([t1 * cos - t2 * sin, t2 * cos + t1 * sin], axis=-1)
+
+        q = rope(q)
+        k = rope(k)
+        k_row = k.reshape(1, kv_dim)
+        v_row = v.reshape(1, kv_dim)
+
+        # This layer's cache planes were prefetched into slot l%2; wait the
+        # load, overlay the new row, and store the plane back into the SAME
+        # VMEM slot so one DMA writes it back to HBM whole.
+        slot = l % 2
+        dk, dv = cache_load(l, slot)
+        dk.wait()
+        dv.wait()
+        keys2d = jnp.where(row_sel, jnp.broadcast_to(k_row, (s_max, kv_dim)), kbuf[slot])
+        vals2d = jnp.where(row_sel, jnp.broadcast_to(v_row, (s_max, kv_dim)), vbuf[slot])
+        kbuf[slot] = keys2d
+        vbuf[slot] = vals2d
+        sk, sv = cache_store(l, slot)
+        sk.start()
+        sv.start()
+
+        keys = keys2d.reshape(s_max, kv, d)
+        vals = vals2d.reshape(s_max, kv, d)
+        g = hh // kv
+        qg = q.reshape(kv, g, d)
+        scores = jax.lax.dot_general(
+            qg, keys.transpose(1, 2, 0), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale_f
+        scores = jnp.where(live, scores, jnp.float32(-1e30))
+        weights = jax.nn.softmax(scores, axis=-1).astype(vals.dtype)
+        attn = jax.lax.dot_general(
+            weights, vals.transpose(1, 0, 2), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16).reshape(1, q_dim)
+
+        # Prefetch the NEXT layer's cache planes into the other slot — but
+        # only after that slot's previous write-back (layer l-1) drained.
+        @pl.when(l + 1 < layers)
+        def _():
+            other = (l + 1) % 2
+
+            @pl.when(l >= 1)
+            def _():
+                pk, pv = cache_store(l - 1, other)
+                pk.wait()
+                pv.wait()
+
+            dk2, dv2 = cache_load(l + 1, other)
+            dk2.start()
+            dv2.start()
+
+        o_acc = jnp.zeros((1, h_size), jnp.float32)
+        for kk in range(ko):
+            w = consume(t0 + nq + kk)
+            o_acc = o_acc + jnp.dot(
+                attn[:, kk * h_size : (kk + 1) * h_size], w,
+                preferred_element_type=jnp.float32,
+            )
+        x = x + (o_acc * so_ref[l]).astype(x.dtype)
+
+        normed = _rms(x.astype(jnp.float32), post_ln_ref[l], eps).astype(
+            jnp.bfloat16
+        )
+        sgu = sgu_ref[l]  # [1, ng*H]
+        parts = []
+        for j in range(ng):
+            w = consume(t0 + nq + ko + j)
+            acc = jnp.dot(normed, w, preferred_element_type=jnp.float32)
+            parts.append(acc * sgu[:, j * h_size : (j + 1) * h_size])
+        gu = jnp.concatenate(parts, axis=-1).astype(x.dtype)
+        gf = gu[:, :inter].astype(jnp.float32)
+        silu = (gf * (1.0 / (1.0 + jnp.exp(-gf)))).astype(x.dtype)
+        act = (silu * gu[:, inter:]).astype(jnp.bfloat16)
+
+        d_acc = jnp.zeros((1, h_size), jnp.float32)
+        for kk in range(kd):
+            w = consume(t0 + nq + ko + ng + kk)
+            d_acc = d_acc + jnp.dot(
+                act[:, kk * h_size : (kk + 1) * h_size], w,
+                preferred_element_type=jnp.float32,
+            )
+        return x + (d_acc * sdown_ref[l]).astype(x.dtype)
+
+    x = jax.lax.fori_loop(0, layers, layer_body, x_ref[:])
+    # Drain the last two layers' plane write-backs before the kernel retires.
+    for back in (2, 1):
+        l_last = layers - back
+        if l_last >= 0:
+            sk, sv = cache_store(l_last, l_last % 2)
+            sk.wait()
+            sv.wait()
+    y_ref[:] = x
+
+
+def streamed_talker_step(
+    stacked_layers: dict,
+    pack: dict,
+    x: jnp.ndarray,  # [1, 1, H]
+    cfg,
+    cache_k: jnp.ndarray,  # [L, S, KV*D] bf16
+    cache_v: jnp.ndarray,
+    pos: jnp.ndarray,
+    cos_row: jnp.ndarray,  # [1, D/2]
+    sin_row: jnp.ndarray,
+):
+    """One whole talker decode step as a single streaming kernel."""
+    h_size = cfg.hidden_size
+    layers = cache_k.shape[0]
+    s_max = cache_k.shape[1]
+    kvd = cfg.num_kv_heads * cfg.head_dim
+    q_dim = cfg.num_heads * cfg.head_dim
+    kv_dim = cfg.num_kv_heads * cfg.head_dim
+    plan = (
+        (q_dim + 2 * kv_dim) // h_size,
+        q_dim // h_size,
+        2 * cfg.intermediate_size // h_size,
+        cfg.intermediate_size // h_size,
+    )
+    kernel = functools.partial(
+        _streamed_talker_kernel,
+        layers=layers,
+        plan=plan,
+        heads=cfg.num_heads,
+        kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim,
+        eps=cfg.rms_norm_eps,
+    )
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    y, ck, cv = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, h_size), x.dtype),
+            jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+            jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            vm, vm, vm, vm, vm, vm, vm, vm, vm, vm, vm,
+            hbm, hbm, hbm,
+        ],
+        out_specs=(vm, hbm, hbm),
+        scratch_shapes=[
+            pltpu.VMEM((TALKER_STREAM_NBUF, h_size, h_size), jnp.int8),
+            pltpu.VMEM((2, s_max, kvd), cache_k.dtype),
+            pltpu.VMEM((2, s_max, kvd), cache_k.dtype),
+            pltpu.SemaphoreType.DMA((TALKER_STREAM_NBUF,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        input_output_aliases={12: 1, 13: 2},
+        # Mosaic's scoped-VMEM accounting sums every unrolled int8->bf16 tile
+        # temp (12 x 8.4 MB at talker dims) against a conservative 16 MB
+        # default; v5e VMEM is far larger. Raise the soft limit.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=_interpret(),
+    )(
+        pos.reshape(1).astype(jnp.int32),
+        x.reshape(1, h_size),
+        stacked_layers["input_ln"][:, None, :],
+        stacked_layers["post_ln"][:, None, :],
+        stacked_layers["q_norm"][:, None, :],
+        stacked_layers["k_norm"][:, None, :],
+        cos_row,
+        sin_row,
+        pack["scales"]["qkv"][:, None, :],
+        pack["scales"]["o"][:, None, :],
+        pack["scales"]["gu"][:, None, :],
+        pack["scales"]["down"][:, None, :],
         cache_k,
         cache_v,
         pack["tiles"],

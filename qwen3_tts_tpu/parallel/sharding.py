@@ -115,7 +115,7 @@ def talker_specs(cfg: TalkerConfig, params: dict | None = None) -> dict:
     """Serving partition specs; pass ``params`` to mirror fused/int8 trees."""
     layers = params["layers"] if params is not None else None
     head = params["codec_head"] if params is not None else None
-    return {
+    specs = {
         "text_embedding": P(None, None),
         "text_projection": {
             "fc1_w": P(None, "tp"),
@@ -128,6 +128,9 @@ def talker_specs(cfg: TalkerConfig, params: dict | None = None) -> dict:
         "norm": P(None),
         "codec_head": _adapt(P(None, "tp"), head),
     }
+    if params is not None and "stream_pack" in params:
+        specs["stream_pack"] = jax.tree.map(lambda _: P(), params["stream_pack"])
+    return specs
 
 
 def code_predictor_specs(cfg: CodePredictorConfig, params: dict | None = None) -> dict:

@@ -153,9 +153,9 @@ class Qwen3TTS:
                 cp_params = W.fuse_model_params(cp_params)
             talker_params = Q.quantize_talker_params(talker_params)
             cp_params = Q.quantize_code_predictor_params(cp_params)
-            # One-time re-layout of the CP weights into HBM stream tiles for
-            # the whole-step streaming kernel (ops/fused_layer.py, journal
-            # R2.3). Costs one extra int8 copy of the CP weights in HBM.
+            # One-time re-layout of the weights into HBM stream tiles for the
+            # whole-step streaming kernels (ops/fused_layer.py, journal
+            # R2.3/R2.4). Costs one extra int8 copy of each stack in HBM.
             from .ops import fused_layer as FL
 
             pack = FL.make_stream_pack(
@@ -163,6 +163,11 @@ class Qwen3TTS:
             )
             if pack is not None:
                 cp_params["stream_pack"] = pack
+            tpack = FL.make_stream_pack(
+                talker_params["layers"], config.talker.layer_stack()
+            )
+            if tpack is not None:
+                talker_params["stream_pack"] = tpack
         self.talker_params = talker_params
         self.cp_params = cp_params
         # Activation compute dtype (norm weights are never quantized).
@@ -310,10 +315,16 @@ class Qwen3TTS:
         return jnp.asarray(seq)
 
     def _new_cache(self, prefill_bucket: int, max_new_bucket: int) -> nn.KVCache:
+        # Row count rounded to a multiple of 16 (bf16 sublane tile): the
+        # streaming talker kernel DMA-slices whole [S, KV*D] cache planes,
+        # whose leading dim must be tile-aligned. Bucket growth deltas are
+        # multiples of 16 already, so alignment is preserved across _grow.
+        rows = prefill_bucket + max_new_bucket + 8
+        rows = ((rows + 15) // 16) * 16
         return nn.init_kv_cache(
             self.config.talker.layer_stack(),
             batch=1,
-            max_seq=prefill_bucket + max_new_bucket + 8,
+            max_seq=rows,
             dtype=self.compute_dtype,
         )
 

@@ -199,3 +199,92 @@ def test_streamed_step_activations_close():
     np.testing.assert_allclose(
         np.asarray(cv_s, np.float32), np.asarray(cv_ref, np.float32), rtol=0.02, atol=0.02
     )
+
+
+def test_streamed_talker_step_matches_xla():
+    """Whole-step streamed talker kernel vs the XLA layer scan."""
+    from qwen3_tts_tpu.models import talker as TM
+    from qwen3_tts_tpu.models.config import TalkerConfig
+    from qwen3_tts_tpu.ops import nn
+
+    tcfg = TalkerConfig(
+        text_embed_dim=32, hidden_size=64, text_proj_intermediate=32,
+        intermediate_size=128, num_hidden_layers=3, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16,
+    )
+    tparams = quant.quantize_talker_params(
+        W.fuse_model_params(W.init_talker_params(jax.random.PRNGKey(8), tcfg, jnp.float32))
+    )
+    pack = fused_layer.make_stream_pack(tparams["layers"], tcfg.layer_stack())
+    assert pack is not None
+    rs = np.random.RandomState(4)
+    max_seq = 24
+    stack_cfg = tcfg.layer_stack()
+    kvd = stack_cfg.num_kv_heads * stack_cfg.head_dim
+    cache = nn.KVCache(
+        jnp.asarray(rs.randn(3, 1, max_seq, 2, 16).astype(np.float32), jnp.bfloat16),
+        jnp.asarray(rs.randn(3, 1, max_seq, 2, 16).astype(np.float32), jnp.bfloat16),
+    )
+    x = jnp.asarray(rs.randn(1, 1, 64).astype(np.float32), jnp.bfloat16)
+    pos = jnp.int32(5)
+
+    h_ref, logits_ref, cache_ref = TM.decode_step(tparams, tcfg, x, pos, cache)
+
+    tstream = dict(tparams)
+    tstream["stream_pack"] = pack
+    h_s, logits_s, cache_s = TM.decode_step(tstream, tcfg, x, pos, cache)
+
+    np.testing.assert_allclose(
+        np.asarray(h_s, np.float32), np.asarray(h_ref, np.float32), rtol=0.03, atol=0.03
+    )
+    # Same argmax token from the logits.
+    assert int(jnp.argmax(logits_s)) == int(jnp.argmax(logits_ref))
+    np.testing.assert_allclose(
+        np.asarray(cache_s.k, np.float32), np.asarray(cache_ref.k, np.float32),
+        rtol=0.03, atol=0.03,
+    )
+
+
+def test_streamed_talker_full_pipeline_codes():
+    """Pipeline with both stream packs: codes match the pack-free int8 run.
+
+    Uses split-free dims (intermediate == hidden so ko = kd = 1): with
+    K-split tiles the partial-sum rounding (~1 bf16 ulp) can flip SAMPLED
+    tokens on a random tiny model's near-flat logits, which says nothing
+    about real checkpoints (peaked logits) — the split path's numerics are
+    covered by the tolerance tests above.
+    """
+    import tests.test_pipeline as tp
+    from dataclasses import replace as dc_replace
+
+    from qwen3_tts_tpu.models.config import ModelConfig, ModelType
+    from qwen3_tts_tpu.models.codec import vocoder
+    from qwen3_tts_tpu.pipeline import Qwen3TTS, SynthesisOptions
+
+    talker_cfg = dc_replace(tp.TINY_TALKER, intermediate_size=64)
+    cp_cfg = dc_replace(tp.TINY_CP, intermediate_size=64)
+    cfg = ModelConfig(
+        model_type=ModelType.CUSTOM_VOICE, model_size="0b6",
+        talker=talker_cfg, code_predictor=cp_cfg,
+    )
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(3), 3)
+    args = (
+        cfg,
+        W.init_talker_params(k1, talker_cfg, jnp.float32),
+        W.init_code_predictor_params(k2, cp_cfg, jnp.float32),
+        vocoder.init_vocoder_params(k3, tp.TINY_VOC),
+        tp.FakeTokenizer(),
+    )
+    m_stream = Qwen3TTS(*args, vocoder_config=tp.TINY_VOC, quantize_int8=True)
+    assert "stream_pack" in m_stream.talker_params
+    assert "stream_pack" in m_stream.cp_params
+    opts = SynthesisOptions(max_length=6, seed=42)
+    sess = m_stream.synthesize_streaming("stream talker", "ryan", "english", opts)
+    frames_stream = sess.run_to_completion()
+
+    m_plain = Qwen3TTS(*args, vocoder_config=tp.TINY_VOC, quantize_int8=True)
+    m_plain.talker_params.pop("stream_pack")
+    m_plain.cp_params.pop("stream_pack")
+    sess = m_plain.synthesize_streaming("stream talker", "ryan", "english", opts)
+    frames_plain = sess.run_to_completion()
+    np.testing.assert_array_equal(frames_stream, frames_plain)
