@@ -149,6 +149,31 @@ def main():
 
     log_device_memory(model, FRAMES)
 
+    # Secondary (stderr-only) datapoint: the int8 + streaming-kernel mode —
+    # the fastest configuration (journal R2.3/R2.4), kept off the headline
+    # metric until audio quality is validated on a real checkpoint.
+    if os.environ.get("QWEN3_TTS_BENCH_INT8", "1") != "0":
+        m8 = Qwen3TTS(
+            model.config,
+            model.talker_params,
+            model.cp_params,
+            model.vocoder_params,
+            model.tokenizer,
+            vocoder_config=model.vocoder_config,
+            quantize_int8=True,
+        )
+        m8.synthesize_with_timing(text, "ryan", "english", opts)  # warm
+        walls = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            audio8, t8 = m8.synthesize_with_timing(text, "ryan", "english", opts)
+            walls.append(time.perf_counter() - t0)
+        rtf8 = min(walls) / (len(audio8) / T.OUTPUT_SAMPLE_RATE)
+        log(
+            f"int8+stream (experimental): frame_ms={t8.generation_ms / FRAMES:.2f} "
+            f"rtf={rtf8:.4f} ({BASELINE_RTF_1P7B / rtf8:.2f}x baseline)"
+        )
+
     rtf = sum(rtfs) / len(rtfs)
     result = {
         "metric": "rtf_1p7b_bf16_nonstreaming",
