@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Write a JSON metadata file next to the WAV")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="Capture a jax.profiler trace into DIR")
+    p.add_argument("--int8", action="store_true",
+                   help="Weight-only int8 + streaming Pallas kernels "
+                        "(~1.7x faster frames; near-lossless in general but "
+                        "validate audio quality per checkpoint)")
     return p
 
 
@@ -115,8 +119,11 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     print(f"Loading model from {args.model_dir} ...", file=sys.stderr)
-    model = Qwen3TTS.from_pretrained(args.model_dir, args.tokenizer_dir)
-    print(f"Variant: {model.config.label}", file=sys.stderr)
+    model = Qwen3TTS.from_pretrained(
+        args.model_dir, args.tokenizer_dir, quantize_int8=args.int8
+    )
+    print(f"Variant: {model.config.label}"
+          + (" (int8)" if args.int8 else ""), file=sys.stderr)
 
     # Variant-vs-flag warnings (generate_audio.rs:432-479).
     if args.ref_audio and not model.supports_voice_cloning():

@@ -190,6 +190,7 @@ class Qwen3TTS:
         vocoder_config: vocoder.VocoderConfig | None = None,
         mimi_config=None,
         dtype=jnp.bfloat16,
+        quantize_int8: bool = False,
     ) -> "Qwen3TTS":
         """Load from a local HF checkpoint directory (config.json +
         model.safetensors + speech_tokenizer/model.safetensors).
@@ -254,6 +255,7 @@ class Qwen3TTS:
             speaker_encoder,
             speech_encoder,
             vocoder_config=vocoder_config,
+            quantize_int8=quantize_int8,
         )
 
     @classmethod
@@ -935,8 +937,25 @@ class StreamingSession:
         target = min(
             self.frames_emitted + self.options.chunk_frames, self.options.max_length
         )
-        n, done = self._advance_managed(target)
-        frames = jax.device_get(self.state.frames)
+        # Single host round-trip per chunk in the common case: frames buffer
+        # + counters fetched together; the growth loop (a few times per
+        # utterance at most) re-enters with one extra counter fetch.
+        while True:
+            self._advance(target)
+            frames, n, done = jax.device_get(
+                (self.state.frames, self.state.frame_idx, self.state.done)
+            )
+            n, done = int(n), bool(done)
+            cap = self.state.frames.shape[0]
+            if done or n >= target or n < cap:
+                break
+            new_cap = min(
+                next_bucket(cap + 1, buckets=FRAME_BUCKETS),
+                next_bucket(self.options.max_length, buckets=FRAME_BUCKETS),
+            )
+            if new_cap <= cap:
+                break
+            self._grow(new_cap)
         done = done or n >= self.options.max_length
         if n <= self.frames_emitted:
             self._exhausted = True

@@ -245,12 +245,16 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--batch-window-ms", type=float, default=30.0)
+    ap.add_argument("--int8", action="store_true",
+                    help="Weight-only int8 + streaming kernels for "
+                         "single-stream requests (batched requests fall "
+                         "back to the generic int8 path)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
     from .pipeline import Qwen3TTS
 
-    model = Qwen3TTS.from_pretrained(args.model_dir)
+    model = Qwen3TTS.from_pretrained(args.model_dir, quantize_int8=args.int8)
     logger.info("loaded %s; serving on %s:%d", model.config.label, args.host, args.port)
     server = serve(model, args.host, args.port, args.max_batch, args.batch_window_ms)
     server.serve_forever()

@@ -83,6 +83,34 @@ def dynamic_audit() -> None:
     assert audit.transfers == 0, f"frame loop performed {audit.transfers} host transfers"
     print("dynamic audit: 0 host transfers inside the generation loop ✓")
 
+    # Same proof for the int8 + streaming-kernel configuration.
+    from qwen3_tts_tpu.ops import fused_layer as FL
+    from qwen3_tts_tpu.ops import quant as Q
+
+    tp8 = Q.quantize_talker_params(W.fuse_model_params(tp))
+    cpp8 = Q.quantize_code_predictor_params(W.fuse_model_params(cpp))
+    tpack = FL.make_stream_pack(tp8["layers"], tcfg.layer_stack())
+    cpack = FL.make_stream_pack(cpp8["layers"], cpcfg.layer_stack())
+    if tpack is not None:
+        tp8["stream_pack"] = tpack
+    if cpack is not None:
+        cpp8["stream_pack"] = cpack
+    cache8 = nn.init_kv_cache(tcfg.layer_stack(), 1, 10 + max_new + 2, jnp.float32)
+    state8, trailing8, tl8, pad8 = prefill.prefill_custom_voice(
+        tp8, tcfg, scfg, text_ids, jnp.int32(3), jnp.int32(3061), jnp.int32(2050),
+        cache8, uniforms, max_new,
+    )
+    with TransferAudit() as audit:
+        state8 = core.generate_frames_jit(
+            tp8, cpp8, tcfg, cpcfg, scfg, state8, trailing8, tl8, pad8, uniforms,
+            jnp.int32(max_new),
+        )
+        jax.block_until_ready(state8.frames)
+    assert audit.transfers == 0, (
+        f"int8 streamed loop performed {audit.transfers} host transfers"
+    )
+    print("dynamic audit: 0 host transfers with int8 + streaming kernels ✓")
+
 
 if __name__ == "__main__":
     static_audit()

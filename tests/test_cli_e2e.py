@@ -143,3 +143,24 @@ def test_first_divergence_semantic_and_length():
     assert d["frame"] == 1 and "semantic" in d["stage"]
     d = first_divergence(a, np.zeros((5, 16), np.int32))
     assert d["frame"] == 3 and "length" in d["stage"]
+
+
+def test_cli_int8_flag(patched_model, tmp_path, monkeypatch):
+    """--int8 reaches from_pretrained(quantize_int8=True)."""
+    from qwen3_tts_tpu.pipeline import Qwen3TTS
+
+    seen = {}
+    real_model = patched_model
+
+    def spy(cls, *a, **kw):
+        seen.update(kw)
+        return real_model
+
+    monkeypatch.setattr(Qwen3TTS, "from_pretrained", classmethod(spy))
+    out = tmp_path / "q.wav"
+    rc = cli.main(
+        ["--model-dir", "/fake", "--text", "int8", "--frames", "4",
+         "--int8", "--output", str(out)]
+    )
+    assert rc == 0
+    assert seen.get("quantize_int8") is True
