@@ -73,6 +73,12 @@ def predict_acoustic_codes(
     """
     from ..ops import fused_layer
 
+    if fused_layer.supports_cp_frame_kernel(params, cfg):
+        # Whole-frame streaming kernel: 5-layer weights resident in VMEM
+        # across all 16 positions (journal R2.5) — one pallas_call/frame.
+        return fused_layer.streamed_cp_frame(
+            params, cfg, talker_hidden, semantic_embed
+        )
     if fused_layer.supports_fused_step(params["layers"]):
         return _predict_acoustic_codes_fused(
             params, cfg, talker_hidden, semantic_embed, hoisted_scan_slices

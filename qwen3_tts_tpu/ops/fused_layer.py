@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import quant
+from . import nn, quant
 
 
 def _rms(x_f32: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -610,6 +610,389 @@ def streamed_decode_step(
         pack["tiles"],
     )
     return y.reshape(1, 1, h_size), ck, cv
+
+
+# ---------------------------------------------------------------------------
+# Whole-frame CP kernel: weights resident in VMEM across all 16 positions.
+# ---------------------------------------------------------------------------
+#
+# Journal R2.5: the per-step streamed kernel (R2.3) still re-reads all
+# ~79 MB of int8 layer weights from HBM on EVERY one of the 15 sequential
+# inner steps (~1.2 GB/frame -> a ~1.4 ms bandwidth floor), because VMEM
+# does not persist across pallas_calls. The CP's 5 layers FIT in VMEM, so
+# one kernel per FRAME loads them once (5 async copies at warm-up, waited
+# lazily inside step 0) and runs the entire inner loop in-kernel:
+#
+#   positions 0..1: the two prefill rows (talker hidden, semantic embed) as
+#     sequential decode steps — row-wise matmul/softmax math is identical
+#     to the batched 2-row prefill, so codes match the XLA path exactly;
+#   positions 2..15: embed code g-1 (one-hot matmul against the group's
+#     table, streamed per step), optional mtp projection, 5 layers, final
+#     RMSNorm, group head (streamed), argmax.
+#
+# Weight traffic per frame drops from 15x(layers) to 1x(layers) + 14
+# embed tables + 15 lm heads (~170 MB total), and the 15 inter-step XLA
+# glue gaps (embed gather / head matmul / argmax between pallas_calls)
+# disappear. The KV cache (16 rows) lives in zero-initialised VMEM scratch
+# and never touches HBM.
+
+
+def _cp_frame_kernel(
+    xs_ref,  # [2, 1, H] prefill rows (already mtp-projected)
+    input_ln_ref,  # [L, 1, H]
+    post_ln_ref,  # [L, 1, H]
+    qn_ref,  # [L, 1, D]
+    kn_ref,  # [L, 1, D]
+    cos_ref,  # [16, 1, D/2] f32
+    sin_ref,
+    sqkv_ref,  # [L, 1, nq*H] f32
+    so_ref,  # [L, 1, H]
+    sgu_ref,  # [L, 1, ng*H]
+    sdown_ref,  # [L, 1, H]
+    norm_ref,  # [1, H] final norm weight
+    hscale_ref,  # [G, 1, V] f32 lm-head scales
+    *rest,  # (mtp_w [E, H], mtp_b [1, H])? tiles, etab, heads_q8, outputs...
+    layers: int,
+    plan: tuple[int, int, int, int],
+    heads: int,
+    kv_heads: int,
+    head_dim: int,
+    eps: float,
+    groups: int,
+    has_mtp: bool,
+):
+    if has_mtp:
+        mtp_w_ref, mtp_b_ref = rest[0], rest[1]
+        rest = rest[2:]
+    tiles_ref, etab_ref, heads_ref = rest[0], rest[1], rest[2]  # HBM
+    codes_ref = rest[3]  # out [1, 16] int32
+    wres, ebuf, hbuf, kbuf, vbuf, wsem, esem, hsem = rest[4:]
+
+    nq, ko, ng, kd = plan
+    h_size = xs_ref.shape[-1]
+    hh, kv, d = heads, kv_heads, head_dim
+    q_dim, kv_dim = hh * d, kv * d
+    inter = kd * h_size
+    vocab = hbuf.shape[-1]
+    v_half = ebuf.shape[1]
+    e_dim = ebuf.shape[-1]
+    s_max = kbuf.shape[1]  # 16
+    steps = groups + 1
+    cdtype = xs_ref.dtype
+
+    def wdma(l):
+        return pltpu.make_async_copy(tiles_ref.at[l], wres.at[l], wsem.at[l])
+
+    def edma(g, half):
+        return pltpu.make_async_copy(
+            etab_ref.at[2 * g + half], ebuf.at[half], esem.at[half]
+        )
+
+    def hdma(g):
+        return pltpu.make_async_copy(heads_ref.at[g], hbuf.at[g % 2], hsem.at[g % 2])
+
+    # Warm-up: all layer weights, head 0, group-0 embed halves.
+    for l in range(layers):
+        wdma(l).start()
+    hdma(0).start()
+    edma(0, 0).start()
+    edma(0, 1).start()
+
+    # Zero-init the in-VMEM caches: masked softmax would otherwise multiply
+    # attention weights into uninitialised (possibly NaN) rows.
+    kbuf[...] = jnp.zeros(kbuf.shape, kbuf.dtype)
+    vbuf[...] = jnp.zeros(vbuf.shape, vbuf.dtype)
+
+    half = d // 2
+    scale_f = jnp.float32(1.0 / d**0.5)
+    lane_v = jax.lax.broadcasted_iota(jnp.int32, (1, vocab), 1)
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (1, codes_ref.shape[-1]), 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (s_max, 1), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s_max), 2)
+
+    def step(p, carry):
+        prev, codes = carry  # [1, 1] int32, [1, 16] int32
+
+        # ---- input row: prefill rows for p < 2, group embed for p >= 2 ----
+        g = jnp.maximum(p - 2, 0)
+
+        @pl.when(p >= 2)
+        def _():
+            edma(g, 0).wait()
+            edma(g, 1).wait()
+
+        onehot = (lane_v == prev).astype(ebuf.dtype)  # [1, V]
+        e_acc = jnp.dot(
+            onehot[:, :v_half], ebuf[0], preferred_element_type=jnp.float32
+        ) + jnp.dot(
+            onehot[:, v_half:], ebuf[1], preferred_element_type=jnp.float32
+        )  # [1, E] f32
+
+        @pl.when((p >= 2) & (p < steps - 1))
+        def _():
+            edma(g + 1, 0).start()
+            edma(g + 1, 1).start()
+
+        x_emb = e_acc.astype(ebuf.dtype)
+        if has_mtp:
+            proj = jnp.dot(
+                x_emb, mtp_w_ref[:], preferred_element_type=jnp.float32
+            ).astype(cdtype) + mtp_b_ref[:]
+            x_emb = proj
+        x_pre = xs_ref[jnp.minimum(p, 1)]  # [1, H]
+        x = jnp.where(p >= 2, x_emb.astype(cdtype), x_pre)
+
+        cos = cos_ref[p].astype(cdtype)  # [1, D/2]
+        sin = sin_ref[p].astype(cdtype)
+        live = col_ids <= p
+        row_sel = row_ids == p
+
+        # ---- 5 layers, weights resident (waited lazily on step 0) ----
+        def layer_body(l, xc):
+            @pl.when(p == 0)
+            def _():
+                wdma(l).wait()
+
+            normed = _rms(xc.astype(jnp.float32), input_ln_ref[l], eps).astype(
+                jnp.bfloat16
+            )
+            sqkv = sqkv_ref[l]
+            parts = []
+            for j in range(nq):
+                w = wres[l, j].astype(jnp.bfloat16)
+                acc = jnp.dot(normed, w, preferred_element_type=jnp.float32)
+                parts.append(acc * sqkv[:, j * h_size : (j + 1) * h_size])
+            qkv = jnp.concatenate(parts, axis=-1).astype(cdtype)
+
+            q = qkv[0, :q_dim].reshape(hh, d)
+            k = qkv[0, q_dim : q_dim + kv_dim].reshape(kv, d)
+            v = qkv[0, q_dim + kv_dim :].reshape(kv, d)
+            q = _rms(q.astype(jnp.float32), qn_ref[l], eps).astype(cdtype)
+            k = _rms(k.astype(jnp.float32), kn_ref[l], eps).astype(cdtype)
+
+            def rope(tt):
+                t1, t2 = tt[:, :half], tt[:, half:]
+                return jnp.concatenate(
+                    [t1 * cos - t2 * sin, t2 * cos + t1 * sin], axis=-1
+                )
+
+            q = rope(q)
+            k = rope(k)
+
+            keys2d = jnp.where(
+                row_sel, jnp.broadcast_to(k.reshape(1, kv_dim), (s_max, kv_dim)),
+                kbuf[l],
+            )
+            vals2d = jnp.where(
+                row_sel, jnp.broadcast_to(v.reshape(1, kv_dim), (s_max, kv_dim)),
+                vbuf[l],
+            )
+            kbuf[l] = keys2d
+            vbuf[l] = vals2d
+
+            keys = keys2d.reshape(s_max, kv, d)
+            vals = vals2d.reshape(s_max, kv, d)
+            gq = hh // kv
+            qg = q.reshape(kv, gq, d)
+            scores = jax.lax.dot_general(
+                qg, keys.transpose(1, 2, 0), (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale_f
+            scores = jnp.where(live, scores, jnp.float32(-1e30))
+            weights = jax.nn.softmax(scores, axis=-1).astype(vals.dtype)
+            attn = jax.lax.dot_general(
+                weights, vals.transpose(1, 0, 2), (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16).reshape(1, q_dim)
+
+            o_acc = jnp.zeros((1, h_size), jnp.float32)
+            for kk in range(ko):
+                w = wres[l, nq + kk].astype(jnp.bfloat16)
+                o_acc = o_acc + jnp.dot(
+                    attn[:, kk * h_size : (kk + 1) * h_size], w,
+                    preferred_element_type=jnp.float32,
+                )
+            xc = xc + (o_acc * so_ref[l]).astype(cdtype)
+
+            normed = _rms(xc.astype(jnp.float32), post_ln_ref[l], eps).astype(
+                jnp.bfloat16
+            )
+            sgu = sgu_ref[l]
+            parts = []
+            for j in range(ng):
+                w = wres[l, nq + ko + j].astype(jnp.bfloat16)
+                acc = jnp.dot(normed, w, preferred_element_type=jnp.float32)
+                parts.append(acc * sgu[:, j * h_size : (j + 1) * h_size])
+            gu = jnp.concatenate(parts, axis=-1).astype(cdtype)
+            gf = gu[:, :inter].astype(jnp.float32)
+            silu = (gf * (1.0 / (1.0 + jnp.exp(-gf)))).astype(cdtype)
+            act = (silu * gu[:, inter:]).astype(jnp.bfloat16)
+
+            d_acc = jnp.zeros((1, h_size), jnp.float32)
+            for kk in range(kd):
+                w = wres[l, nq + ko + ng + kk].astype(jnp.bfloat16)
+                d_acc = d_acc + jnp.dot(
+                    act[:, kk * h_size : (kk + 1) * h_size], w,
+                    preferred_element_type=jnp.float32,
+                )
+            return xc + (d_acc * sdown_ref[l]).astype(cdtype)
+
+        x = jax.lax.fori_loop(0, layers, layer_body, x)
+
+        # ---- head g_h = p - 1 (valid for p >= 1) ----
+        g_h = jnp.maximum(p - 1, 0)
+        hslot = g_h % 2
+
+        @pl.when(p >= 1)
+        def _():
+            hdma(g_h).wait()
+
+        h_n = _rms(x.astype(jnp.float32), norm_ref[:], eps).astype(cdtype)
+        logits = (
+            jnp.dot(
+                h_n.astype(jnp.bfloat16), hbuf[hslot].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            * hscale_ref[g_h]
+        ).astype(cdtype)
+        # Round to the compute dtype first (parity with quant.mm's output
+        # dtype), then upcast: Mosaic's argmax lowering is f32-only, and
+        # bf16 -> f32 is monotonic + injective so the argmax is unchanged.
+        code = (
+            jnp.argmax(logits.astype(jnp.float32), axis=-1)
+            .astype(jnp.int32)
+            .reshape(1, 1)
+        )
+
+        @pl.when((p >= 1) & (p < steps - 1))
+        def _():
+            hdma(g_h + 1).start()
+
+        prev = jnp.where(p >= 1, code, prev)
+        codes = jnp.where((p >= 1) & (lane_c == p - 1), code, codes)
+        return prev, codes
+
+    prev0 = jnp.zeros((1, 1), jnp.int32)
+    codes0 = jnp.zeros((1, codes_ref.shape[-1]), jnp.int32)
+    _, codes = jax.lax.fori_loop(0, steps, step, (prev0, codes0))
+    codes_ref[:] = codes
+
+
+def supports_cp_frame_kernel(params: dict, cfg) -> bool:
+    """Whole-frame kernel needs the stream pack + quantized lm heads and
+    an evenly-splittable embedding vocab."""
+    if params.get("stream_pack") is None:
+        return False
+    if not quant.is_quantized(params.get("lm_heads")):
+        return False
+    etab = params["codec_embeddings"]
+    return etab.shape[1] % 2 == 0
+
+
+def streamed_cp_frame(
+    params: dict,
+    cfg,
+    talker_hidden: jnp.ndarray,  # [1, 1, E]
+    semantic_embed: jnp.ndarray,  # [1, 1, E]
+) -> jnp.ndarray:
+    """All 15 acoustic codes for one frame in ONE pallas_call.
+
+    Replicates models/code_predictor.predict_acoustic_codes exactly (the
+    2-row prefill runs as two sequential in-kernel steps — row-wise matmul
+    and causal-attention math is identical to the batched form).
+    Returns int32 [num_acoustic].
+    """
+    pack = params["stream_pack"]
+    stack_cfg = cfg.layer_stack()
+    layers = stack_cfg.num_layers
+    h_size = stack_cfg.hidden_size
+    d = stack_cfg.head_dim
+    q_dim = stack_cfg.num_heads * d
+    kv_dim = stack_cfg.num_kv_heads * d
+    plan = (
+        (q_dim + 2 * kv_dim) // h_size,
+        q_dim // h_size,
+        2 * stack_cfg.intermediate_size // h_size,
+        stack_cfg.intermediate_size // h_size,
+    )
+    groups = cfg.num_acoustic
+    steps = groups + 1  # 2 prefill rows + 14 code rows = 16 positions
+    etab = params["codec_embeddings"]  # [G, V, E]
+    g_all, vocab, e_dim = etab.shape
+    etab2 = etab.reshape(g_all * 2, vocab // 2, e_dim)
+    heads_q8 = params["lm_heads"]["q8"]  # [G, H, V]
+    head_scale = params["lm_heads"]["scale"].astype(jnp.float32)[:, None, :]
+    head_vocab = heads_q8.shape[-1]
+
+    # Prefill rows, mtp-projected outside (row-wise: identical to the XLA
+    # path's batched [1, 2, E] projection).
+    xs = jnp.concatenate([talker_hidden, semantic_embed], axis=1)  # [1, 2, E]
+    mtp = params.get("mtp_proj")
+    has_mtp = mtp is not None
+    if has_mtp:
+        xs = xs @ mtp["w"] + mtp["b"]
+    cdtype = xs.dtype
+    xs = xs.reshape(2, 1, h_size)
+
+    inv_freq = nn.rope_inv_freq(d, stack_cfg.rope_theta)
+    cos_t, sin_t = nn.rope_cos_sin(jnp.arange(steps, dtype=jnp.float32), inv_freq)
+
+    kernel = functools.partial(
+        _cp_frame_kernel,
+        layers=layers,
+        plan=plan,
+        heads=stack_cfg.num_heads,
+        kv_heads=stack_cfg.num_kv_heads,
+        head_dim=d,
+        eps=stack_cfg.rms_norm_eps,
+        groups=groups,
+        has_mtp=has_mtp,
+    )
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    stacked = params["layers"]
+    operands = [
+        xs,
+        stacked["input_ln"][:, None, :],
+        stacked["post_ln"][:, None, :],
+        stacked["q_norm"][:, None, :],
+        stacked["k_norm"][:, None, :],
+        cos_t[:, None, :],
+        sin_t[:, None, :],
+        pack["scales"]["qkv"][:, None, :],
+        pack["scales"]["o"][:, None, :],
+        pack["scales"]["gu"][:, None, :],
+        pack["scales"]["down"][:, None, :],
+        params["norm"][None, :],
+        head_scale,
+    ]
+    in_specs = [vm] * len(operands)
+    if has_mtp:
+        operands += [mtp["w"], mtp["b"][None, :]]
+        in_specs += [vm, vm]
+    operands += [pack["tiles"], etab2, heads_q8]
+    in_specs += [hbm, hbm, hbm]
+
+    tiles_per_layer = sum(plan)
+    codes16 = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, 16), jnp.int32),
+        in_specs=in_specs,
+        out_specs=vm,
+        scratch_shapes=[
+            pltpu.VMEM((layers, tiles_per_layer, h_size, h_size), jnp.int8),
+            pltpu.VMEM((2, vocab // 2, e_dim), etab.dtype),
+            pltpu.VMEM((2, h_size, head_vocab), jnp.int8),
+            pltpu.VMEM((layers, steps, kv_dim), cdtype),
+            pltpu.VMEM((layers, steps, kv_dim), cdtype),
+            pltpu.SemaphoreType.DMA((layers,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=128 * 2**20),
+        interpret=_interpret(),
+    )(*operands)
+    return codes16[0, :groups]
 
 
 # ---------------------------------------------------------------------------
