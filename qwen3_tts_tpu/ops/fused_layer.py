@@ -1010,7 +1010,11 @@ def streamed_cp_frame(
 # growth makes the common case; larger segments fall back to the XLA path.
 
 TALKER_STREAM_NBUF = 6
-TALKER_STREAM_MAX_SEQ = 560  # VMEM budget bound for the cache slices
+# VMEM budget bound for the cache slices: covers every generation tier
+# (2048 frames + prompt bucket + pad). At large S the write-back is a
+# 16-row aligned slab instead of the whole plane (see cache_store), so the
+# extra per-step HBM traffic is the unavoidable attention read only.
+TALKER_STREAM_MAX_SEQ = 2624
 
 
 def _streamed_talker_kernel(
@@ -1022,9 +1026,9 @@ def _streamed_talker_kernel(
     kn_ref,  # [L, D]
     cos_ref,  # [1, D/2]
     sin_ref,
-    sqkv_ref,  # [L, nq*H] f32
+    sqkv_ref,  # [L*nq, 1, H] f32 (one row per output tile)
     so_ref,  # [L, H]
-    sgu_ref,  # [L, ng*H]
+    sgu_ref,  # [L*ng, 1, H] f32
     sdown_ref,  # [L, H]
     ck_hbm,  # [L, S, KV*D] bf16 in HBM (aliased out)
     cv_hbm,
@@ -1035,6 +1039,8 @@ def _streamed_talker_kernel(
     wbuf,  # [NBUF, H, H] s8 VMEM
     kbuf,  # [2, S, KV*D] bf16 VMEM (layer-parity double buffer)
     vbuf,
+    nout,  # [max(nq, ng), 1, H] f32 — N-tiled matmul output rows
+    xsplit,  # [max(ko, kd), 1, H] bf16 — K-tiled matmul input chunks
     wsem,  # DMA sems [NBUF]
     csem,  # DMA sems [2, 2] (slot, k/v) cache-plane loads
     rsem,  # DMA sems [2, 2] (slot, k/v) cache-plane write-backs
@@ -1067,10 +1073,29 @@ def _streamed_talker_kernel(
             pltpu.make_async_copy(cv_hbm.at[l], vbuf.at[slot], csem.at[slot, 1]),
         )
 
+    # Write-back granularity: a single-row DMA into a (16,128)-tiled bf16
+    # HBM memref is not expressible, but a 16-row tile-ALIGNED slab is.
+    # When S is a multiple of 16 only the slab containing ``pos`` goes back
+    # (everything else in HBM is already identical) — at the 2048-frame
+    # tier that is 64 KB/layer instead of ~9.5 MB/layer. Odd S (tiny test
+    # configs) falls back to the whole plane.
+    slab = s_max % 16 == 0
+    slab_start = pl.multiple_of((pos // 16) * 16, 16) if slab else 0
+
     def cache_store(l, slot):
-        """Whole-plane write-back: HBM memrefs are (8,128)-tiled, so a
-        single-row DMA is not expressible; a full [S, KV*D] plane is, and
-        costs only ~0.6 MB per layer."""
+        if slab:
+            return (
+                pltpu.make_async_copy(
+                    kbuf.at[slot, pl.ds(slab_start, 16)],
+                    ck_out.at[l, pl.ds(slab_start, 16)],
+                    rsem.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    vbuf.at[slot, pl.ds(slab_start, 16)],
+                    cv_out.at[l, pl.ds(slab_start, 16)],
+                    rsem.at[slot, 1],
+                ),
+            )
         return (
             pltpu.make_async_copy(kbuf.at[slot], ck_out.at[l], rsem.at[slot, 0]),
             pltpu.make_async_copy(vbuf.at[slot], cv_out.at[l], rsem.at[slot, 1]),
@@ -1086,9 +1111,13 @@ def _streamed_talker_kernel(
     cos = cos_ref[:].astype(jnp.bfloat16)
     sin = sin_ref[:].astype(jnp.bfloat16)
     half = d // 2
-    live = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s_max), 2) <= pos
     scale_f = jnp.float32(1.0 / d**0.5)
-    row_sel = jax.lax.broadcasted_iota(jnp.int32, (s_max, 1), 0) == pos
+    # Attention runs over static blocks with an online softmax: whole-plane
+    # [S, KV*D] vector values made Mosaic's register allocator explode at
+    # the 1072/2096-row tiers (~100 MB of spill slots / compile-helper
+    # OOM). Blocks bound every temp regardless of S.
+    blk = min(256, s_max)
+    n_blocks = -(-s_max // blk)
 
     def consume(t):
         """Wait tile t, return it as bf16, prefetch t + nbuf - 1."""
@@ -1098,6 +1127,33 @@ def _streamed_talker_kernel(
         wdma(t).wait()
         return wbuf[t % nbuf].astype(jnp.bfloat16)
 
+    def n_tiled(t_base, scale_base, scale_ref, x_in, n):
+        """N-tiled matmul via fori: ONE live int8->bf16 tile temp instead of
+        ``n`` Python-unrolled ones (the unrolled form cost ~103 MB of Mosaic
+        spill slots at talker dims, which OOM'd VMEM at the big cache
+        tiers). Output rows land in the ``nout`` scratch."""
+
+        def tile(j, _):
+            w = consume(t_base + j)
+            acc = jnp.dot(x_in, w, preferred_element_type=jnp.float32)
+            nout[j] = acc * scale_ref[scale_base + j]
+            return 0
+
+        jax.lax.fori_loop(0, n, tile, 0)
+
+    def k_tiled(t_base, n):
+        """K-tiled matmul via fori over ``xsplit`` chunks, f32 accumulation
+        in ascending-k order (same partial-sum order as the unrolled form)."""
+
+        def tile(kk, acc):
+            w = consume(t_base + kk)
+            return acc + jnp.dot(
+                xsplit[kk].astype(jnp.bfloat16), w,
+                preferred_element_type=jnp.float32,
+            )
+
+        return jax.lax.fori_loop(0, n, tile, jnp.zeros((1, h_size), jnp.float32))
+
     def layer_body(l, x):
         t0 = l * tpl
         # Per-layer vectors are stored [L, 1, N]: dynamic indexing is only
@@ -1105,13 +1161,8 @@ def _streamed_talker_kernel(
         normed = _rms(x.astype(jnp.float32), input_ln_ref[l], eps).astype(
             jnp.bfloat16
         )
-        sqkv = sqkv_ref[l]  # [1, nq*H]
-        parts = []
-        for j in range(nq):
-            w = consume(t0 + j)
-            acc = jnp.dot(normed, w, preferred_element_type=jnp.float32)
-            parts.append(acc * sqkv[:, j * h_size : (j + 1) * h_size])
-        qkv = jnp.concatenate(parts, axis=-1).astype(x.dtype)
+        n_tiled(t0, l * nq, sqkv_ref, normed, nq)
+        qkv = jnp.concatenate([nout[j] for j in range(nq)], axis=-1).astype(x.dtype)
 
         q = qkv[0, :q_dim].reshape(hh, d)
         k = qkv[0, q_dim : q_dim + kv_dim].reshape(kv, d)
@@ -1129,34 +1180,87 @@ def _streamed_talker_kernel(
         v_row = v.reshape(1, kv_dim)
 
         # This layer's cache planes were prefetched into slot l%2; wait the
-        # load, overlay the new row, and store the plane back into the SAME
-        # VMEM slot so one DMA writes it back to HBM whole.
+        # load, overlay the new row (16-row slab for tile-aligned S, whole
+        # plane otherwise), and DMA the updated region back to HBM.
         slot = l % 2
         dk, dv = cache_load(l, slot)
         dk.wait()
         dv.wait()
-        keys2d = jnp.where(row_sel, jnp.broadcast_to(k_row, (s_max, kv_dim)), kbuf[slot])
-        vals2d = jnp.where(row_sel, jnp.broadcast_to(v_row, (s_max, kv_dim)), vbuf[slot])
-        kbuf[slot] = keys2d
-        vbuf[slot] = vals2d
+        if slab:
+            sel16 = (
+                slab_start + jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+            ) == pos
+            ksl = kbuf[slot, pl.ds(slab_start, 16)]
+            vsl = vbuf[slot, pl.ds(slab_start, 16)]
+            kbuf[slot, pl.ds(slab_start, 16)] = jnp.where(
+                sel16, jnp.broadcast_to(k_row, (16, kv_dim)), ksl
+            )
+            vbuf[slot, pl.ds(slab_start, 16)] = jnp.where(
+                sel16, jnp.broadcast_to(v_row, (16, kv_dim)), vsl
+            )
+        else:
+            row_sel = jax.lax.broadcasted_iota(jnp.int32, (s_max, 1), 0) == pos
+            kbuf[slot] = jnp.where(
+                row_sel, jnp.broadcast_to(k_row, (s_max, kv_dim)), kbuf[slot]
+            )
+            vbuf[slot] = jnp.where(
+                row_sel, jnp.broadcast_to(v_row, (s_max, kv_dim)), vbuf[slot]
+            )
         sk, sv = cache_store(l, slot)
         sk.start()
         sv.start()
 
-        keys = keys2d.reshape(s_max, kv, d)
-        vals = vals2d.reshape(s_max, kv, d)
+        # Blocked decode attention with online softmax over the cache.
+        #
+        # GQA without relayouts: cache blocks stay in their native [blk,
+        # KV*D] layout and the queries become a block-diagonal [KV*D, H]
+        # matrix (query head j occupies rows of its kv head, zeros
+        # elsewhere) — scores^T = kblk @ Qbd in ONE MXU dot. Per-block
+        # [blk, kv, d] transposes measured ~6 us/row of S per step (the
+        # 2048-frame tier ran 12.6 ms/frame); the only transposes left are
+        # 16-row/column shuffles.
         g = hh // kv
-        qg = q.reshape(kv, g, d)
-        scores = jax.lax.dot_general(
-            qg, keys.transpose(1, 2, 0), (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale_f
-        scores = jnp.where(live, scores, jnp.float32(-1e30))
-        weights = jax.nn.softmax(scores, axis=-1).astype(vals.dtype)
-        attn = jax.lax.dot_general(
-            weights, vals.transpose(1, 0, 2), (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.bfloat16).reshape(1, q_dim)
+        qT = q.reshape(hh, d).transpose(1, 0)  # [d, H] (tiny)
+        qtiled = jnp.broadcast_to(qT[None], (kv, d, hh)).reshape(kv_dim, hh)
+        row_r = jax.lax.broadcasted_iota(jnp.int32, (kv_dim, 1), 0)
+        col_j = jax.lax.broadcasted_iota(jnp.int32, (1, hh), 1)
+        qbd = jnp.where(
+            (row_r // d) == (col_j // g), qtiled, jnp.zeros_like(qtiled)
+        ).astype(jnp.bfloat16)
+        # Per-query-head kv selector for the pv product: [H, kv, 1].
+        kv_sel = (
+            jax.lax.broadcasted_iota(jnp.int32, (hh, kv, 1), 1)
+            == jax.lax.broadcasted_iota(jnp.int32, (hh, kv, 1), 0) // g
+        ).astype(jnp.float32)
+
+        def attn_block(b, carry):
+            m, lsum, acc = carry  # [1, H], [1, H], [H, d] f32
+            start = jnp.minimum(b * blk, s_max - blk)
+            start = pl.multiple_of(start, 16) if slab else start
+            kblk = kbuf[slot, pl.ds(start, blk)]  # [blk, KV*D] bf16
+            vblk = vbuf[slot, pl.ds(start, blk)]
+            s_t = jnp.dot(
+                kblk, qbd, preferred_element_type=jnp.float32
+            ) * scale_f  # [blk, H] = scores^T
+            gidx = start + jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
+            valid = (gidx <= pos) & (gidx >= b * blk)
+            s_t = jnp.where(valid, s_t, jnp.float32(-1e30))
+            m_new = jnp.maximum(m, s_t.max(axis=0, keepdims=True))
+            alpha = jnp.exp(m - m_new)  # [1, H]
+            p = jnp.exp(s_t - m_new)  # [blk, H]
+            lsum = lsum * alpha + p.sum(axis=0, keepdims=True)
+            pv = jnp.dot(
+                p.astype(jnp.bfloat16).transpose(1, 0), vblk,
+                preferred_element_type=jnp.float32,
+            )  # [H, KV*D]
+            pv_h = (pv.reshape(hh, kv, d) * kv_sel).sum(axis=1)  # [H, d]
+            return m_new, lsum, acc * alpha.transpose(1, 0) + pv_h
+
+        m0 = jnp.full((1, hh), -1e30, jnp.float32)
+        l0 = jnp.zeros((1, hh), jnp.float32)
+        a0 = jnp.zeros((hh, d), jnp.float32)
+        _, lsum, acc = jax.lax.fori_loop(0, n_blocks, attn_block, (m0, l0, a0))
+        attn = (acc / lsum.transpose(1, 0)).astype(jnp.bfloat16).reshape(1, q_dim)
 
         # Prefetch the NEXT layer's cache planes into the other slot — but
         # only after that slot's previous write-back (layer l-1) drained.
@@ -1174,36 +1278,26 @@ def _streamed_talker_kernel(
             dk2.start()
             dv2.start()
 
-        o_acc = jnp.zeros((1, h_size), jnp.float32)
         for kk in range(ko):
-            w = consume(t0 + nq + kk)
-            o_acc = o_acc + jnp.dot(
-                attn[:, kk * h_size : (kk + 1) * h_size], w,
-                preferred_element_type=jnp.float32,
-            )
+            xsplit[kk] = attn[:, kk * h_size : (kk + 1) * h_size]
+        o_acc = k_tiled(t0 + nq, ko)
         x = x + (o_acc * so_ref[l]).astype(x.dtype)
 
         normed = _rms(x.astype(jnp.float32), post_ln_ref[l], eps).astype(
             jnp.bfloat16
         )
-        sgu = sgu_ref[l]  # [1, ng*H]
-        parts = []
-        for j in range(ng):
-            w = consume(t0 + nq + ko + j)
-            acc = jnp.dot(normed, w, preferred_element_type=jnp.float32)
-            parts.append(acc * sgu[:, j * h_size : (j + 1) * h_size])
-        gu = jnp.concatenate(parts, axis=-1).astype(x.dtype)
-        gf = gu[:, :inter].astype(jnp.float32)
+        n_tiled(t0 + nq + ko, l * ng, sgu_ref, normed, ng)
+        # Parity with the concat-then-cast form: round each scaled column
+        # block to the compute dtype first, then split gate/up (ng = 2*kd).
+        rows = [nout[j].astype(x.dtype) for j in range(ng)]
+        gf = jnp.concatenate(rows[:kd], axis=-1).astype(jnp.float32)
+        up = jnp.concatenate(rows[kd:], axis=-1)
         silu = (gf * (1.0 / (1.0 + jnp.exp(-gf)))).astype(x.dtype)
-        act = (silu * gu[:, inter:]).astype(jnp.bfloat16)
+        act = (silu * up).astype(jnp.bfloat16)
 
-        d_acc = jnp.zeros((1, h_size), jnp.float32)
         for kk in range(kd):
-            w = consume(t0 + nq + ko + ng + kk)
-            d_acc = d_acc + jnp.dot(
-                act[:, kk * h_size : (kk + 1) * h_size], w,
-                preferred_element_type=jnp.float32,
-            )
+            xsplit[kk] = act[:, kk * h_size : (kk + 1) * h_size]
+        d_acc = k_tiled(t0 + nq + ko + ng, kd)
         return x + (d_acc * sdown_ref[l]).astype(x.dtype)
 
     x = jax.lax.fori_loop(0, layers, layer_body, x_ref[:])
@@ -1250,6 +1344,12 @@ def streamed_talker_step(
         head_dim=cfg.head_dim,
         eps=cfg.rms_norm_eps,
     )
+    # The double-buffered cache slices grow with the segment tier
+    # (2 x 2 x S x KV*D bf16 = 17 MB at the 2096-row tier); shrink the
+    # weight-prefetch ring there so scoped VMEM stays under the 128 MiB
+    # v5e budget (measured: 131.4 MiB with the 6-slot ring at 2096 rows).
+    nbuf = TALKER_STREAM_NBUF if s_max <= 1536 else 4
+    nq, ko, ng, kd = plan
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     y, ck, cv = pl.pallas_call(
@@ -1266,18 +1366,20 @@ def streamed_talker_step(
         ],
         out_specs=(vm, hbm, hbm),
         scratch_shapes=[
-            pltpu.VMEM((TALKER_STREAM_NBUF, h_size, h_size), jnp.int8),
+            pltpu.VMEM((nbuf, h_size, h_size), jnp.int8),
             pltpu.VMEM((2, s_max, kvd), cache_k.dtype),
             pltpu.VMEM((2, s_max, kvd), cache_k.dtype),
-            pltpu.SemaphoreType.DMA((TALKER_STREAM_NBUF,)),
+            pltpu.VMEM((max(nq, ng), 1, h_size), jnp.float32),
+            pltpu.VMEM((max(ko, kd), 1, h_size), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((nbuf,)),
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         input_output_aliases={12: 1, 13: 2},
-        # Mosaic's scoped-VMEM accounting sums every unrolled int8->bf16 tile
-        # temp (12 x 8.4 MB at talker dims) against a conservative 16 MB
-        # default; v5e VMEM is far larger. Raise the soft limit.
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        # The fori-over-tiles form keeps ONE int8->bf16 tile temp live (the
+        # Python-unrolled form spilled ~103 MB of tile temps, OOMing VMEM at
+        # the 1072/2096-row cache tiers); 128 MiB is the v5e VMEM size.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=128 * 2**20),
         interpret=_interpret(),
     )(
         pos.reshape(1).astype(jnp.int32),
@@ -1288,9 +1390,9 @@ def streamed_talker_step(
         stacked_layers["k_norm"][:, None, :],
         cos_row,
         sin_row,
-        pack["scales"]["qkv"][:, None, :],
+        pack["scales"]["qkv"].reshape(layers * nq, 1, h_size),
         pack["scales"]["o"][:, None, :],
-        pack["scales"]["gu"][:, None, :],
+        pack["scales"]["gu"].reshape(layers * ng, 1, h_size),
         pack["scales"]["down"][:, None, :],
         cache_k,
         cache_v,

@@ -266,8 +266,13 @@ def test_cp_frame_kernel_in_generation_loop():
     assert (frames[:, 1:] < STREAM_CFG.vocab_size).all() and (frames >= 0).all()
 
 
-def test_streamed_talker_step_matches_xla():
-    """Whole-step streamed talker kernel vs the XLA layer scan."""
+@pytest.mark.parametrize("max_seq", [24, 32])
+def test_streamed_talker_step_matches_xla(max_seq):
+    """Whole-step streamed talker kernel vs the XLA layer scan.
+
+    max_seq=24 exercises the whole-plane cache write-back (odd S); 32 the
+    16-row aligned-slab write-back used by all real cache tiers.
+    """
     from qwen3_tts_tpu.models import talker as TM
     from qwen3_tts_tpu.models.config import TalkerConfig
     from qwen3_tts_tpu.ops import nn
@@ -283,7 +288,6 @@ def test_streamed_talker_step_matches_xla():
     pack = fused_layer.make_stream_pack(tparams["layers"], tcfg.layer_stack())
     assert pack is not None
     rs = np.random.RandomState(4)
-    max_seq = 24
     stack_cfg = tcfg.layer_stack()
     kvd = stack_cfg.num_kv_heads * stack_cfg.head_dim
     cache = nn.KVCache(
@@ -291,7 +295,8 @@ def test_streamed_talker_step_matches_xla():
         jnp.asarray(rs.randn(3, 1, max_seq, 2, 16).astype(np.float32), jnp.bfloat16),
     )
     x = jnp.asarray(rs.randn(1, 1, 64).astype(np.float32), jnp.bfloat16)
-    pos = jnp.int32(5)
+    # Nonzero slab offset for the aligned-slab path (pos 17 -> slab [16, 32)).
+    pos = jnp.int32(5 if max_seq == 24 else 17)
 
     h_ref, logits_ref, cache_ref = TM.decode_step(tparams, tcfg, x, pos, cache)
 
