@@ -153,6 +153,10 @@ def main():
     # the fastest configuration (journal R2.3/R2.4), kept off the headline
     # metric until audio quality is validated on a real checkpoint.
     if os.environ.get("QWEN3_TTS_BENCH_INT8", "1") != "0":
+        # Free the bf16 stream pack (2.8 GB) before quantization: the int8
+        # conversion materializes f32 weight temporaries and the two models'
+        # HBM footprints briefly coexist.
+        model.talker_params.pop("stream_pack", None)
         m8 = Qwen3TTS(
             model.config,
             model.talker_params,

@@ -335,48 +335,60 @@ STREAM_NBUF = 8  # prefetch depth (CP tiles are H*H int8 = 1 MB each)
 
 
 def make_stream_pack(stacked_layers: dict, cfg) -> dict | None:
-    """Re-layout a fused+int8 layer stack into uniform [H, H] stream tiles.
+    """Re-layout a fused layer stack into uniform [H, H] stream tiles.
 
-    Returns {"tiles": s8 [L, T, H, H], "scales": {...}, "plan": (nq, ko,
-    ng, kd)} or None when the dims don't tile evenly. Run once at load
-    time — the pack is a device-resident re-layout of the weights
-    (the original stacked tree stays canonical for everything else).
+    Works for both int8 trees ({"q8", "scale"} leaves -> s8 tiles + scale
+    rows) and plain fused bf16 trees (bf16 tiles, scales of ones — the
+    kernels multiply unconditionally, which is exact). Returns {"tiles":
+    [L, T, H, H], "scales": {...}, "plan": (nq, ko, ng, kd)} or None when
+    the dims don't tile evenly. Run once at load time — the pack is a
+    device-resident re-layout of the weights (the original stacked tree
+    stays canonical for everything else).
     """
-    if not supports_fused_step(stacked_layers):
+    if "qkv_proj" not in stacked_layers:
         return None
+    quantized = quant.is_quantized(stacked_layers["qkv_proj"])
     h = stacked_layers["input_ln"].shape[-1]
-    qkv = stacked_layers["qkv_proj"]
-    o = stacked_layers["o_proj"]
-    gu = stacked_layers["gateup_proj"]
-    down = stacked_layers["down_proj"]
-    L, _, nq_dim = qkv["q8"].shape
-    dq = o["q8"].shape[1]
-    ng_dim = gu["q8"].shape[2]
-    inter = down["q8"].shape[1]
+
+    def mat(p):
+        return p["q8"] if quantized else p
+
+    qkv = mat(stacked_layers["qkv_proj"])  # [L, H, nq*H]
+    o = mat(stacked_layers["o_proj"])  # [L, ko*H, H]
+    gu = mat(stacked_layers["gateup_proj"])
+    down = mat(stacked_layers["down_proj"])
+    L, _, nq_dim = qkv.shape
+    dq = o.shape[1]
+    ng_dim = gu.shape[2]
+    inter = down.shape[1]
     if any(dim % h for dim in (nq_dim, dq, ng_dim, inter)):
         return None
     nq, ko, ng, kd = nq_dim // h, dq // h, ng_dim // h, inter // h
 
-    def n_tiles(q8):  # [L, H, n*H] -> [L, n, H, H]
-        return q8.reshape(L, h, -1, h).transpose(0, 2, 1, 3)
+    def n_tiles(w):  # [L, H, n*H] -> [L, n, H, H]
+        return w.reshape(L, h, -1, h).transpose(0, 2, 1, 3)
 
-    def k_tiles(q8):  # [L, k*H, H] -> [L, k, H, H]
-        return q8.reshape(L, -1, h, h)
+    def k_tiles(w):  # [L, k*H, H] -> [L, k, H, H]
+        return w.reshape(L, -1, h, h)
 
     tiles = jnp.concatenate(
-        [n_tiles(qkv["q8"]), k_tiles(o["q8"]), n_tiles(gu["q8"]), k_tiles(down["q8"])],
-        axis=1,
+        [n_tiles(qkv), k_tiles(o), n_tiles(gu), k_tiles(down)], axis=1
     )  # [L, nq+ko+ng+kd, H, H]
-    return {
-        "tiles": tiles,
-        "scales": {
-            "qkv": qkv["scale"].astype(jnp.float32),  # [L, nq*H]
-            "o": o["scale"].astype(jnp.float32),  # [L, H]
-            "gu": gu["scale"].astype(jnp.float32),  # [L, ng*H]
-            "down": down["scale"].astype(jnp.float32),  # [L, H]
-        },
-        "plan": (nq, ko, ng, kd),
-    }
+    if quantized:
+        scales = {
+            "qkv": stacked_layers["qkv_proj"]["scale"].astype(jnp.float32),
+            "o": stacked_layers["o_proj"]["scale"].astype(jnp.float32),
+            "gu": stacked_layers["gateup_proj"]["scale"].astype(jnp.float32),
+            "down": stacked_layers["down_proj"]["scale"].astype(jnp.float32),
+        }
+    else:
+        scales = {
+            "qkv": jnp.ones((L, nq_dim), jnp.float32),
+            "o": jnp.ones((L, h), jnp.float32),
+            "gu": jnp.ones((L, ng_dim), jnp.float32),
+            "down": jnp.ones((L, h), jnp.float32),
+        }
+    return {"tiles": tiles, "scales": scales, "plan": (nq, ko, ng, kd)}
 
 
 def _streamed_step_kernel(
@@ -1051,10 +1063,15 @@ def _streamed_talker_kernel(
     kv_heads: int,
     head_dim: int,
     eps: float,
+    quantized: bool,
 ):
     nq, ko, ng, kd = plan
     tpl = nq + ko + ng + kd
     h_size = x_ref.shape[-1]
+    # int8 packs dequantize tiles to bf16 before the MXU (parity with
+    # quant.mm); plain packs keep the weights' own dtype so the f32 test
+    # configs stay full-precision like the XLA scan.
+    mdtype = jnp.bfloat16 if quantized else x_ref.dtype
     hh, kv, d = heads, kv_heads, head_dim
     q_dim, kv_dim = hh * d, kv * d
     inter = kd * h_size
@@ -1108,8 +1125,8 @@ def _streamed_talker_kernel(
     dk.start()
     dv.start()
 
-    cos = cos_ref[:].astype(jnp.bfloat16)
-    sin = sin_ref[:].astype(jnp.bfloat16)
+    cos = cos_ref[:].astype(x_ref.dtype)
+    sin = sin_ref[:].astype(x_ref.dtype)
     half = d // 2
     scale_f = jnp.float32(1.0 / d**0.5)
     # Attention runs over static blocks with an online softmax: whole-plane
@@ -1125,7 +1142,8 @@ def _streamed_talker_kernel(
         def _():
             wdma(t + nbuf - 1).start()
         wdma(t).wait()
-        return wbuf[t % nbuf].astype(jnp.bfloat16)
+        w = wbuf[t % nbuf]
+        return w.astype(jnp.bfloat16) if quantized else w
 
     def n_tiled(t_base, scale_base, scale_ref, x_in, n):
         """N-tiled matmul via fori: ONE live int8->bf16 tile temp instead of
@@ -1148,7 +1166,7 @@ def _streamed_talker_kernel(
         def tile(kk, acc):
             w = consume(t_base + kk)
             return acc + jnp.dot(
-                xsplit[kk].astype(jnp.bfloat16), w,
+                xsplit[kk].astype(mdtype), w,
                 preferred_element_type=jnp.float32,
             )
 
@@ -1159,7 +1177,7 @@ def _streamed_talker_kernel(
         # Per-layer vectors are stored [L, 1, N]: dynamic indexing is only
         # alignment-provable on the leading (non-tiled) dim.
         normed = _rms(x.astype(jnp.float32), input_ln_ref[l], eps).astype(
-            jnp.bfloat16
+            mdtype
         )
         n_tiled(t0, l * nq, sqkv_ref, normed, nq)
         qkv = jnp.concatenate([nout[j] for j in range(nq)], axis=-1).astype(x.dtype)
@@ -1226,7 +1244,7 @@ def _streamed_talker_kernel(
         col_j = jax.lax.broadcasted_iota(jnp.int32, (1, hh), 1)
         qbd = jnp.where(
             (row_r // d) == (col_j // g), qtiled, jnp.zeros_like(qtiled)
-        ).astype(jnp.bfloat16)
+        ).astype(mdtype)
         # Per-query-head kv selector for the pv product: [H, kv, 1].
         kv_sel = (
             jax.lax.broadcasted_iota(jnp.int32, (hh, kv, 1), 1)
@@ -1250,7 +1268,7 @@ def _streamed_talker_kernel(
             p = jnp.exp(s_t - m_new)  # [blk, H]
             lsum = lsum * alpha + p.sum(axis=0, keepdims=True)
             pv = jnp.dot(
-                p.astype(jnp.bfloat16).transpose(1, 0), vblk,
+                p.astype(vblk.dtype).transpose(1, 0), vblk,
                 preferred_element_type=jnp.float32,
             )  # [H, KV*D]
             pv_h = (pv.reshape(hh, kv, d) * kv_sel).sum(axis=1)  # [H, d]
@@ -1260,7 +1278,7 @@ def _streamed_talker_kernel(
         l0 = jnp.zeros((1, hh), jnp.float32)
         a0 = jnp.zeros((hh, d), jnp.float32)
         _, lsum, acc = jax.lax.fori_loop(0, n_blocks, attn_block, (m0, l0, a0))
-        attn = (acc / lsum.transpose(1, 0)).astype(jnp.bfloat16).reshape(1, q_dim)
+        attn = (acc / lsum.transpose(1, 0)).astype(mdtype).reshape(1, q_dim)
 
         # Prefetch the NEXT layer's cache planes into the other slot — but
         # only after that slot's previous write-back (layer l-1) drained.
@@ -1284,7 +1302,7 @@ def _streamed_talker_kernel(
         x = x + (o_acc * so_ref[l]).astype(x.dtype)
 
         normed = _rms(x.astype(jnp.float32), post_ln_ref[l], eps).astype(
-            jnp.bfloat16
+            mdtype
         )
         n_tiled(t0 + nq + ko, l * ng, sgu_ref, normed, ng)
         # Parity with the concat-then-cast form: round each scaled column
@@ -1293,7 +1311,7 @@ def _streamed_talker_kernel(
         gf = jnp.concatenate(rows[:kd], axis=-1).astype(jnp.float32)
         up = jnp.concatenate(rows[kd:], axis=-1)
         silu = (gf * (1.0 / (1.0 + jnp.exp(-gf)))).astype(x.dtype)
-        act = (silu * up).astype(jnp.bfloat16)
+        act = (silu * up).astype(mdtype)
 
         for kk in range(kd):
             xsplit[kk] = act[:, kk * h_size : (kk + 1) * h_size]
@@ -1335,6 +1353,7 @@ def streamed_talker_step(
         2 * cfg.intermediate_size // h_size,
         cfg.intermediate_size // h_size,
     )
+    quantized = pack["tiles"].dtype == jnp.int8
     kernel = functools.partial(
         _streamed_talker_kernel,
         layers=layers,
@@ -1343,12 +1362,18 @@ def streamed_talker_step(
         kv_heads=cfg.num_kv_heads,
         head_dim=cfg.head_dim,
         eps=cfg.rms_norm_eps,
+        quantized=quantized,
     )
     # The double-buffered cache slices grow with the segment tier
     # (2 x 2 x S x KV*D bf16 = 17 MB at the 2096-row tier); shrink the
     # weight-prefetch ring there so scoped VMEM stays under the 128 MiB
     # v5e budget (measured: 131.4 MiB with the 6-slot ring at 2096 rows).
-    nbuf = TALKER_STREAM_NBUF if s_max <= 1536 else 4
+    # bf16 packs have 2x tile bytes -> halve the ring depths.
+    tile_dtype = pack["tiles"].dtype
+    if tile_dtype == jnp.int8:
+        nbuf = TALKER_STREAM_NBUF if s_max <= 1536 else 4
+    else:
+        nbuf = 4 if s_max <= 1536 else 3
     nq, ko, ng, kd = plan
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
@@ -1366,11 +1391,14 @@ def streamed_talker_step(
         ],
         out_specs=(vm, hbm, hbm),
         scratch_shapes=[
-            pltpu.VMEM((nbuf, h_size, h_size), jnp.int8),
+            pltpu.VMEM((nbuf, h_size, h_size), tile_dtype),
             pltpu.VMEM((2, s_max, kvd), cache_k.dtype),
             pltpu.VMEM((2, s_max, kvd), cache_k.dtype),
             pltpu.VMEM((max(nq, ng), 1, h_size), jnp.float32),
-            pltpu.VMEM((max(ko, kd), 1, h_size), jnp.bfloat16),
+            pltpu.VMEM(
+                (max(ko, kd), 1, h_size),
+                jnp.bfloat16 if quantized else x.dtype,
+            ),
             pltpu.SemaphoreType.DMA((nbuf,)),
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2, 2)),

@@ -19,6 +19,7 @@ causal convs).
 from __future__ import annotations
 
 import logging
+import os
 import time
 from dataclasses import dataclass, replace
 from pathlib import Path
@@ -167,6 +168,23 @@ class Qwen3TTS:
                 talker_params["layers"], config.talker.layer_stack()
             )
             if tpack is not None:
+                talker_params["stream_pack"] = tpack
+        elif os.environ.get("QWEN3_TTS_BF16_STREAM_PACK"):
+            # Opt-in only: the bf16 streaming talker kernel measured NEUTRAL
+            # vs the XLA layer scan (journal R2.7: 7.92 vs 7.99 ms/frame at
+            # the 128-frame tier, 9.27 vs ~9.2 at 2048 frames) — XLA already
+            # overlaps bf16 weight streaming with compute; the custom-call
+            # serialization the kernel fixes is int8-specific. Kept for
+            # experimentation on other topologies at the cost of a 2x-weights
+            # HBM re-layout. Canonical unfused tree stays authoritative.
+            from .ops import fused_layer as FL
+
+            tpack = FL.make_stream_pack(
+                W.fuse_model_params(talker_params)["layers"],
+                config.talker.layer_stack(),
+            )
+            if tpack is not None:
+                talker_params = dict(talker_params)
                 talker_params["stream_pack"] = tpack
         self.talker_params = talker_params
         self.cp_params = cp_params

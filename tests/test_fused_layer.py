@@ -370,6 +370,75 @@ def test_cp_pack_pipeline_matches_no_pack():
     np.testing.assert_array_equal(frames_cp, frames_plain)
 
 
+def test_bf16_stream_pack_talker_step_matches_xla():
+    """Plain (unquantized) stream pack: kernel step vs the XLA layer scan.
+
+    f32 weights + f32 compute through the kernel must match the XLA path
+    closely (no int8 dequant rounding): 1e-5 tolerance and the same argmax.
+    """
+    from qwen3_tts_tpu.models import talker as TM
+    from qwen3_tts_tpu.models.config import TalkerConfig
+    from qwen3_tts_tpu.ops import nn
+
+    tcfg = TalkerConfig(
+        text_embed_dim=32, hidden_size=64, text_proj_intermediate=32,
+        intermediate_size=128, num_hidden_layers=3, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16,
+    )
+    tparams = W.fuse_model_params(
+        W.init_talker_params(jax.random.PRNGKey(11), tcfg, jnp.float32)
+    )
+    pack = fused_layer.make_stream_pack(tparams["layers"], tcfg.layer_stack())
+    assert pack is not None
+    assert pack["tiles"].dtype == jnp.float32
+
+    rs = np.random.RandomState(6)
+    max_seq = 32
+    cache = nn.KVCache(
+        jnp.asarray(rs.randn(3, 1, max_seq, 2, 16).astype(np.float32)),
+        jnp.asarray(rs.randn(3, 1, max_seq, 2, 16).astype(np.float32)),
+    )
+    x = jnp.asarray(rs.randn(1, 1, 64).astype(np.float32))
+    pos = jnp.int32(17)
+
+    h_ref, logits_ref, cache_ref = TM.decode_step(tparams, tcfg, x, pos, cache)
+    tstream = dict(tparams)
+    tstream["stream_pack"] = pack
+    h_s, logits_s, cache_s = TM.decode_step(tstream, tcfg, x, pos, cache)
+
+    np.testing.assert_allclose(
+        np.asarray(h_s), np.asarray(h_ref), rtol=1e-5, atol=1e-5
+    )
+    assert int(jnp.argmax(logits_s)) == int(jnp.argmax(logits_ref))
+    np.testing.assert_allclose(
+        np.asarray(cache_s.k), np.asarray(cache_ref.k), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_bf16_stream_pack_built_by_pipeline(monkeypatch):
+    """QWEN3_TTS_BF16_STREAM_PACK opts non-int8 models into a plain pack.
+
+    Measured neutral on v5e (journal R2.7) so it is opt-in; the pipeline
+    must still build a working pack and keep the canonical tree unfused.
+    """
+    from qwen3_tts_tpu.pipeline import Qwen3TTS, SynthesisOptions
+
+    monkeypatch.setenv("QWEN3_TTS_BF16_STREAM_PACK", "1")
+    args, tiny_voc = _tiny_pipeline_args()
+    m = Qwen3TTS(*args, vocoder_config=tiny_voc)
+    assert "stream_pack" in m.talker_params
+    assert m.talker_params["stream_pack"]["tiles"].dtype == jnp.float32
+    # Canonical tree stays unfused.
+    assert "q_proj" in m.talker_params["layers"]
+    opts = SynthesisOptions(max_length=4, seed=42)
+    frames = m.synthesize_streaming("bf16 pack", "ryan", "english", opts).run_to_completion()
+    assert frames.shape == (4, 16)
+    # Default: no pack in bf16 mode.
+    monkeypatch.delenv("QWEN3_TTS_BF16_STREAM_PACK")
+    m2 = Qwen3TTS(*args, vocoder_config=tiny_voc)
+    assert "stream_pack" not in m2.talker_params
+
+
 def test_streamed_talker_full_pipeline_codes():
     """Pipeline with BOTH stream packs runs end-to-end and emits valid frames.
 
