@@ -66,6 +66,11 @@ def main():
     ap.add_argument("--warmup", type=int, default=1)
     ap.add_argument("--json", default=None)
     ap.add_argument("--chunk-frames", type=int, default=10)
+    ap.add_argument(
+        "--int8", action="store_true",
+        help="weight-only int8 + streaming kernels (the fastest mode; "
+        "validate audio quality per checkpoint before production use)",
+    )
     args = ap.parse_args()
 
     from qwen3_tts_tpu import SynthesisOptions, tokens as T
@@ -73,11 +78,17 @@ def main():
     from qwen3_tts_tpu.pipeline import Qwen3TTS
 
     if args.ckpt:
-        model = Qwen3TTS.from_pretrained(args.ckpt)
+        model = Qwen3TTS.from_pretrained(args.ckpt, quantize_int8=args.int8)
         synthetic = False
     else:
         model = Qwen3TTS.from_random(config_for_variant(args.size, "custom_voice"))
         synthetic = True
+        if args.int8:
+            model = Qwen3TTS(
+                model.config, model.talker_params, model.cp_params,
+                model.vocoder_params, model.tokenizer,
+                vocoder_config=model.vocoder_config, quantize_int8=True,
+            )
 
         class WordTokenizer:
             def encode(self, text):
@@ -195,6 +206,7 @@ def main():
 
     summary = {
         "model": args.ckpt or f"synthetic-{args.size}",
+        "mode": "int8+stream" if args.int8 else "bf16",
         "corpus": results,
         "icl_clone_streaming": icl,
         "peak_rss_mb": round(peak_rss_mb(), 1),
