@@ -662,8 +662,8 @@ def _cp_frame_kernel(
     sgu_ref,  # [L, 1, ng*H]
     sdown_ref,  # [L, 1, H]
     norm_ref,  # [1, H] final norm weight
-    hscale_ref,  # [G, 1, V] f32 lm-head scales
-    *rest,  # (mtp_w [E, H], mtp_b [1, H])? tiles, etab, heads_q8, outputs...
+    hscale_ref,  # [G, 1, V] f32 lm-head scales (ones when not quantized)
+    *rest,  # (mtp_w [E, H], mtp_b [1, H])? tiles, etab, heads, out, scratches
     layers: int,
     plan: tuple[int, int, int, int],
     heads: int,
@@ -672,28 +672,63 @@ def _cp_frame_kernel(
     eps: float,
     groups: int,
     has_mtp: bool,
+    quantized: bool,
+    resident: int,
 ):
     if has_mtp:
         mtp_w_ref, mtp_b_ref = rest[0], rest[1]
         rest = rest[2:]
     tiles_ref, etab_ref, heads_ref = rest[0], rest[1], rest[2]  # HBM
     codes_ref = rest[3]  # out [1, 16] int32
-    wres, ebuf, hbuf, kbuf, vbuf, wsem, esem, hsem = rest[4:]
+    scratches = list(rest[4:])
+    streamed = layers - resident
+    wres = scratches.pop(0)  # [resident, T, H, H]
+    wlbuf = scratches.pop(0) if streamed else None  # [NBUF, H, H] ring
+    ebuf, hbuf, kbuf, vbuf = scratches[:4]
+    scratches = scratches[4:]
+    wsem = scratches.pop(0)  # DMA [resident]
+    wlsem = scratches.pop(0) if streamed else None  # DMA [NBUF]
+    esem, hsem = scratches
 
     nq, ko, ng, kd = plan
+    tpl = nq + ko + ng + kd
     h_size = xs_ref.shape[-1]
     hh, kv, d = heads, kv_heads, head_dim
     q_dim, kv_dim = hh * d, kv * d
     inter = kd * h_size
     vocab = hbuf.shape[-1]
     v_half = ebuf.shape[1]
-    e_dim = ebuf.shape[-1]
     s_max = kbuf.shape[1]  # 16
     steps = groups + 1
     cdtype = xs_ref.dtype
+    # int8 packs dequantize tiles to bf16 before the MXU (parity with
+    # quant.mm); plain packs keep the weights' own dtype so the bf16/f32
+    # XLA paths are matched at their native precision.
+    mdtype = jnp.bfloat16 if quantized else cdtype
 
     def wdma(l):
         return pltpu.make_async_copy(tiles_ref.at[l], wres.at[l], wsem.at[l])
+
+    # Streamed-layer tile ring: layers >= ``resident`` re-stream their
+    # tiles from HBM every step (bf16 CP layers don't all fit VMEM).
+    wl_nbuf = wlbuf.shape[0] if streamed else 0
+    total_stream = steps * streamed * tpl
+
+    def wldma(u):
+        l_str = resident + (u // tpl) % streamed
+        j = u % tpl
+        return pltpu.make_async_copy(
+            tiles_ref.at[l_str, j], wlbuf.at[u % wl_nbuf], wlsem.at[u % wl_nbuf]
+        )
+
+    def consume(u):
+        @pl.when(u + wl_nbuf - 1 < total_stream)
+        def _():
+            wldma(u + wl_nbuf - 1).start()
+
+        wldma(u).wait()
+        w = wlbuf[u % wl_nbuf]
+        return w.astype(jnp.bfloat16) if quantized else w
 
     def edma(g, half):
         return pltpu.make_async_copy(
@@ -703,9 +738,12 @@ def _cp_frame_kernel(
     def hdma(g):
         return pltpu.make_async_copy(heads_ref.at[g], hbuf.at[g % 2], hsem.at[g % 2])
 
-    # Warm-up: all layer weights, head 0, group-0 embed halves.
-    for l in range(layers):
+    # Warm-up: resident layer weights, the stream ring, head 0, group-0
+    # embed halves.
+    for l in range(resident):
         wdma(l).start()
+    for u in range(min(wl_nbuf - 1, total_stream) if streamed else 0):
+        wldma(u).start()
     hdma(0).start()
     edma(0, 0).start()
     edma(0, 1).start()
@@ -721,6 +759,93 @@ def _cp_frame_kernel(
     lane_c = jax.lax.broadcasted_iota(jnp.int32, (1, codes_ref.shape[-1]), 1)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (s_max, 1), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s_max), 2)
+
+    def run_layer(l, x, get_w, p):
+        """One decoder layer at position ``p``; ``get_w(j)`` yields the
+        layer's j-th [H, H] tile in compute form."""
+        cos = cos_ref[p].astype(cdtype)  # [1, D/2]
+        sin = sin_ref[p].astype(cdtype)
+        live = col_ids <= p
+        row_sel = row_ids == p
+
+        normed = _rms(x.astype(jnp.float32), input_ln_ref[l], eps).astype(mdtype)
+        sqkv = sqkv_ref[l]
+        parts = []
+        for j in range(nq):
+            acc = jnp.dot(normed, get_w(j), preferred_element_type=jnp.float32)
+            parts.append(acc * sqkv[:, j * h_size : (j + 1) * h_size])
+        qkv = jnp.concatenate(parts, axis=-1).astype(cdtype)
+
+        q = qkv[0, :q_dim].reshape(hh, d)
+        k = qkv[0, q_dim : q_dim + kv_dim].reshape(kv, d)
+        v = qkv[0, q_dim + kv_dim :].reshape(kv, d)
+        q = _rms(q.astype(jnp.float32), qn_ref[l], eps).astype(cdtype)
+        k = _rms(k.astype(jnp.float32), kn_ref[l], eps).astype(cdtype)
+
+        def rope(tt):
+            t1, t2 = tt[:, :half], tt[:, half:]
+            return jnp.concatenate(
+                [t1 * cos - t2 * sin, t2 * cos + t1 * sin], axis=-1
+            )
+
+        q = rope(q)
+        k = rope(k)
+
+        keys2d = jnp.where(
+            row_sel, jnp.broadcast_to(k.reshape(1, kv_dim), (s_max, kv_dim)),
+            kbuf[l],
+        )
+        vals2d = jnp.where(
+            row_sel, jnp.broadcast_to(v.reshape(1, kv_dim), (s_max, kv_dim)),
+            vbuf[l],
+        )
+        kbuf[l] = keys2d
+        vbuf[l] = vals2d
+
+        keys = keys2d.reshape(s_max, kv, d)
+        vals = vals2d.reshape(s_max, kv, d)
+        gq = hh // kv
+        qg = q.reshape(kv, gq, d)
+        scores = jax.lax.dot_general(
+            qg, keys.transpose(1, 2, 0), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale_f
+        scores = jnp.where(live, scores, jnp.float32(-1e30))
+        weights = jax.nn.softmax(scores, axis=-1).astype(vals.dtype)
+        attn = jax.lax.dot_general(
+            weights, vals.transpose(1, 0, 2), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(mdtype).reshape(1, q_dim)
+
+        o_acc = jnp.zeros((1, h_size), jnp.float32)
+        for kk in range(ko):
+            o_acc = o_acc + jnp.dot(
+                attn[:, kk * h_size : (kk + 1) * h_size], get_w(nq + kk),
+                preferred_element_type=jnp.float32,
+            )
+        x = x + (o_acc * so_ref[l]).astype(cdtype)
+
+        normed = _rms(x.astype(jnp.float32), post_ln_ref[l], eps).astype(mdtype)
+        sgu = sgu_ref[l]
+        parts = []
+        for j in range(ng):
+            acc = jnp.dot(
+                normed, get_w(nq + ko + j), preferred_element_type=jnp.float32
+            )
+            parts.append(acc * sgu[:, j * h_size : (j + 1) * h_size])
+        gu = jnp.concatenate(parts, axis=-1).astype(cdtype)
+        gf = gu[:, :inter].astype(jnp.float32)
+        silu = (gf * (1.0 / (1.0 + jnp.exp(-gf)))).astype(cdtype)
+        act = (silu * gu[:, inter:]).astype(mdtype)
+
+        d_acc = jnp.zeros((1, h_size), jnp.float32)
+        for kk in range(kd):
+            d_acc = d_acc + jnp.dot(
+                act[:, kk * h_size : (kk + 1) * h_size],
+                get_w(nq + ko + ng + kk),
+                preferred_element_type=jnp.float32,
+            )
+        return x + (d_acc * sdown_ref[l]).astype(cdtype)
 
     def step(p, carry):
         prev, codes = carry  # [1, 1] int32, [1, 16] int32
@@ -754,102 +879,27 @@ def _cp_frame_kernel(
         x_pre = xs_ref[jnp.minimum(p, 1)]  # [1, H]
         x = jnp.where(p >= 2, x_emb.astype(cdtype), x_pre)
 
-        cos = cos_ref[p].astype(cdtype)  # [1, D/2]
-        sin = sin_ref[p].astype(cdtype)
-        live = col_ids <= p
-        row_sel = row_ids == p
-
-        # ---- 5 layers, weights resident (waited lazily on step 0) ----
-        def layer_body(l, xc):
+        # ---- resident layers (DMA'd once, waited lazily on step 0) ----
+        def res_body(l, xc):
             @pl.when(p == 0)
             def _():
                 wdma(l).wait()
 
-            normed = _rms(xc.astype(jnp.float32), input_ln_ref[l], eps).astype(
-                jnp.bfloat16
-            )
-            sqkv = sqkv_ref[l]
-            parts = []
-            for j in range(nq):
-                w = wres[l, j].astype(jnp.bfloat16)
-                acc = jnp.dot(normed, w, preferred_element_type=jnp.float32)
-                parts.append(acc * sqkv[:, j * h_size : (j + 1) * h_size])
-            qkv = jnp.concatenate(parts, axis=-1).astype(cdtype)
+            return run_layer(l, xc, lambda j: _res_tile(l, j), p)
 
-            q = qkv[0, :q_dim].reshape(hh, d)
-            k = qkv[0, q_dim : q_dim + kv_dim].reshape(kv, d)
-            v = qkv[0, q_dim + kv_dim :].reshape(kv, d)
-            q = _rms(q.astype(jnp.float32), qn_ref[l], eps).astype(cdtype)
-            k = _rms(k.astype(jnp.float32), kn_ref[l], eps).astype(cdtype)
+        def _res_tile(l, j):
+            w = wres[l, j]
+            return w.astype(jnp.bfloat16) if quantized else w
 
-            def rope(tt):
-                t1, t2 = tt[:, :half], tt[:, half:]
-                return jnp.concatenate(
-                    [t1 * cos - t2 * sin, t2 * cos + t1 * sin], axis=-1
-                )
+        x = jax.lax.fori_loop(0, resident, res_body, x)
 
-            q = rope(q)
-            k = rope(k)
+        # ---- streamed layers (tiles re-streamed from HBM every step) ----
+        if streamed:
+            def str_body(l, xc):
+                u_base = (p * streamed + (l - resident)) * tpl
+                return run_layer(l, xc, lambda j: consume(u_base + j), p)
 
-            keys2d = jnp.where(
-                row_sel, jnp.broadcast_to(k.reshape(1, kv_dim), (s_max, kv_dim)),
-                kbuf[l],
-            )
-            vals2d = jnp.where(
-                row_sel, jnp.broadcast_to(v.reshape(1, kv_dim), (s_max, kv_dim)),
-                vbuf[l],
-            )
-            kbuf[l] = keys2d
-            vbuf[l] = vals2d
-
-            keys = keys2d.reshape(s_max, kv, d)
-            vals = vals2d.reshape(s_max, kv, d)
-            gq = hh // kv
-            qg = q.reshape(kv, gq, d)
-            scores = jax.lax.dot_general(
-                qg, keys.transpose(1, 2, 0), (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ) * scale_f
-            scores = jnp.where(live, scores, jnp.float32(-1e30))
-            weights = jax.nn.softmax(scores, axis=-1).astype(vals.dtype)
-            attn = jax.lax.dot_general(
-                weights, vals.transpose(1, 0, 2), (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.bfloat16).reshape(1, q_dim)
-
-            o_acc = jnp.zeros((1, h_size), jnp.float32)
-            for kk in range(ko):
-                w = wres[l, nq + kk].astype(jnp.bfloat16)
-                o_acc = o_acc + jnp.dot(
-                    attn[:, kk * h_size : (kk + 1) * h_size], w,
-                    preferred_element_type=jnp.float32,
-                )
-            xc = xc + (o_acc * so_ref[l]).astype(cdtype)
-
-            normed = _rms(xc.astype(jnp.float32), post_ln_ref[l], eps).astype(
-                jnp.bfloat16
-            )
-            sgu = sgu_ref[l]
-            parts = []
-            for j in range(ng):
-                w = wres[l, nq + ko + j].astype(jnp.bfloat16)
-                acc = jnp.dot(normed, w, preferred_element_type=jnp.float32)
-                parts.append(acc * sgu[:, j * h_size : (j + 1) * h_size])
-            gu = jnp.concatenate(parts, axis=-1).astype(cdtype)
-            gf = gu[:, :inter].astype(jnp.float32)
-            silu = (gf * (1.0 / (1.0 + jnp.exp(-gf)))).astype(cdtype)
-            act = (silu * gu[:, inter:]).astype(jnp.bfloat16)
-
-            d_acc = jnp.zeros((1, h_size), jnp.float32)
-            for kk in range(kd):
-                w = wres[l, nq + ko + ng + kk].astype(jnp.bfloat16)
-                d_acc = d_acc + jnp.dot(
-                    act[:, kk * h_size : (kk + 1) * h_size], w,
-                    preferred_element_type=jnp.float32,
-                )
-            return xc + (d_acc * sdown_ref[l]).astype(cdtype)
-
-        x = jax.lax.fori_loop(0, layers, layer_body, x)
+            x = jax.lax.fori_loop(resident, layers, str_body, x)
 
         # ---- head g_h = p - 1 (valid for p >= 1) ----
         g_h = jnp.maximum(p - 1, 0)
@@ -862,7 +912,7 @@ def _cp_frame_kernel(
         h_n = _rms(x.astype(jnp.float32), norm_ref[:], eps).astype(cdtype)
         logits = (
             jnp.dot(
-                h_n.astype(jnp.bfloat16), hbuf[hslot].astype(jnp.bfloat16),
+                h_n.astype(mdtype), hbuf[hslot].astype(mdtype),
                 preferred_element_type=jnp.float32,
             )
             * hscale_ref[g_h]
@@ -890,12 +940,19 @@ def _cp_frame_kernel(
     codes_ref[:] = codes
 
 
+# VMEM budget for resident CP layer weights: int8 1.7B/0.6B fit all 5
+# layers (~79 MB); bf16 fits 2 (~63 MB), the rest re-stream per step.
+CP_WRES_BUDGET = 82 * 2**20
+CP_STREAM_NBUF = 6
+
+
 def supports_cp_frame_kernel(params: dict, cfg) -> bool:
-    """Whole-frame kernel needs the stream pack + quantized lm heads and
-    an evenly-splittable embedding vocab."""
+    """Whole-frame kernel needs the stream pack, stacked lm heads (int8 or
+    plain), and an evenly-splittable embedding vocab."""
     if params.get("stream_pack") is None:
         return False
-    if not quant.is_quantized(params.get("lm_heads")):
+    heads = params.get("lm_heads")
+    if not (quant.is_quantized(heads) or getattr(heads, "ndim", 0) == 3):
         return False
     etab = params["codec_embeddings"]
     return etab.shape[1] % 2 == 0
@@ -906,13 +963,16 @@ def streamed_cp_frame(
     cfg,
     talker_hidden: jnp.ndarray,  # [1, 1, E]
     semantic_embed: jnp.ndarray,  # [1, 1, E]
+    resident_override: int | None = None,
 ) -> jnp.ndarray:
     """All 15 acoustic codes for one frame in ONE pallas_call.
 
     Replicates models/code_predictor.predict_acoustic_codes exactly (the
     2-row prefill runs as two sequential in-kernel steps — row-wise matmul
-    and causal-attention math is identical to the batched form).
-    Returns int32 [num_acoustic].
+    and causal-attention math is identical to the batched form). As many
+    layers as fit CP_WRES_BUDGET stay resident in VMEM for all 16
+    positions; the rest re-stream their tiles per step through a small
+    ring. Returns int32 [num_acoustic].
     """
     pack = params["stream_pack"]
     stack_cfg = cfg.layer_stack()
@@ -927,14 +987,27 @@ def streamed_cp_frame(
         2 * stack_cfg.intermediate_size // h_size,
         stack_cfg.intermediate_size // h_size,
     )
+    tiles_per_layer = sum(plan)
+    tile_dtype = pack["tiles"].dtype
+    quantized = tile_dtype == jnp.int8
+    per_layer_bytes = tiles_per_layer * h_size * h_size * pack["tiles"].dtype.itemsize
+    resident = min(layers, max(1, CP_WRES_BUDGET // per_layer_bytes))
+    if resident_override is not None:
+        resident = resident_override
+    streamed = layers - resident
     groups = cfg.num_acoustic
     steps = groups + 1  # 2 prefill rows + 14 code rows = 16 positions
     etab = params["codec_embeddings"]  # [G, V, E]
     g_all, vocab, e_dim = etab.shape
     etab2 = etab.reshape(g_all * 2, vocab // 2, e_dim)
-    heads_q8 = params["lm_heads"]["q8"]  # [G, H, V]
-    head_scale = params["lm_heads"]["scale"].astype(jnp.float32)[:, None, :]
-    head_vocab = heads_q8.shape[-1]
+    lm = params["lm_heads"]
+    if quant.is_quantized(lm):
+        heads_arr = lm["q8"]  # [G, H, V]
+        head_scale = lm["scale"].astype(jnp.float32)[:, None, :]
+    else:
+        heads_arr = lm  # [G, H, V] plain
+        head_scale = jnp.ones((g_all, 1, lm.shape[-1]), jnp.float32)
+    head_vocab = heads_arr.shape[-1]
 
     # Prefill rows, mtp-projected outside (row-wise: identical to the XLA
     # path's batched [1, 2, E] projection).
@@ -959,6 +1032,8 @@ def streamed_cp_frame(
         eps=stack_cfg.rms_norm_eps,
         groups=groups,
         has_mtp=has_mtp,
+        quantized=quantized,
+        resident=resident,
     )
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
@@ -982,25 +1057,33 @@ def streamed_cp_frame(
     if has_mtp:
         operands += [mtp["w"], mtp["b"][None, :]]
         in_specs += [vm, vm]
-    operands += [pack["tiles"], etab2, heads_q8]
+    operands += [pack["tiles"], etab2, heads_arr]
     in_specs += [hbm, hbm, hbm]
 
-    tiles_per_layer = sum(plan)
+    scratch_shapes = [
+        pltpu.VMEM((resident, tiles_per_layer, h_size, h_size), tile_dtype)
+    ]
+    if streamed:
+        scratch_shapes.append(pltpu.VMEM((CP_STREAM_NBUF, h_size, h_size), tile_dtype))
+    scratch_shapes += [
+        pltpu.VMEM((2, vocab // 2, e_dim), etab.dtype),
+        pltpu.VMEM((2, h_size, head_vocab), heads_arr.dtype),
+        pltpu.VMEM((layers, steps, kv_dim), cdtype),
+        pltpu.VMEM((layers, steps, kv_dim), cdtype),
+        pltpu.SemaphoreType.DMA((resident,)),
+    ]
+    if streamed:
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((CP_STREAM_NBUF,)))
+    scratch_shapes += [
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
     codes16 = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((1, 16), jnp.int32),
         in_specs=in_specs,
         out_specs=vm,
-        scratch_shapes=[
-            pltpu.VMEM((layers, tiles_per_layer, h_size, h_size), jnp.int8),
-            pltpu.VMEM((2, vocab // 2, e_dim), etab.dtype),
-            pltpu.VMEM((2, h_size, head_vocab), jnp.int8),
-            pltpu.VMEM((layers, steps, kv_dim), cdtype),
-            pltpu.VMEM((layers, steps, kv_dim), cdtype),
-            pltpu.SemaphoreType.DMA((layers,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=128 * 2**20),
         interpret=_interpret(),
     )(*operands)

@@ -169,7 +169,25 @@ class Qwen3TTS:
             )
             if tpack is not None:
                 talker_params["stream_pack"] = tpack
-        elif os.environ.get("QWEN3_TTS_BF16_STREAM_PACK"):
+        else:
+            from .ops import fused_layer as _FL
+
+            # The CP whole-frame kernel pays in bf16 too (journal R2.8):
+            # as many of the 5 layers as fit CP_WRES_BUDGET stay resident
+            # in VMEM across the 15 inner steps, cutting CP weight
+            # re-streaming and removing the inter-step XLA glue. TPU-only
+            # by default (the interpret-mode kernel is slow on CPU and its
+            # row-split prefill rounds differently at f32);
+            # QWEN3_TTS_NO_CP_STREAM=1 disables.
+            if not _FL._interpret() and not os.environ.get("QWEN3_TTS_NO_CP_STREAM"):
+                cpack = _FL.make_stream_pack(
+                    W.fuse_model_params(cp_params)["layers"],
+                    config.code_predictor.layer_stack(),
+                )
+                if cpack is not None:
+                    cp_params = dict(cp_params)
+                    cp_params["stream_pack"] = cpack
+        if not quantize_int8 and os.environ.get("QWEN3_TTS_BF16_STREAM_PACK"):
             # Opt-in only: the bf16 streaming talker kernel measured NEUTRAL
             # vs the XLA layer scan (journal R2.7: 7.92 vs 7.99 ms/frame at
             # the 128-frame tier, 9.27 vs ~9.2 at 2048 frames) — XLA already

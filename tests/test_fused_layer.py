@@ -229,6 +229,43 @@ def test_cp_frame_kernel_codes_match_unfused(embed_dim, monkeypatch):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("embed_dim", [None, 128])
+@pytest.mark.parametrize("resident", [None, 1])
+def test_cp_frame_kernel_plain_bf16_mode(embed_dim, resident, monkeypatch):
+    """Plain (unquantized) CP frame kernel — the bf16 pipeline's CP path.
+
+    resident=1 forces the partial-residency ring (layers >= resident
+    re-stream their tiles every step); codes must equal the plain XLA scan
+    either way. f32 weights keep the comparison exact on CPU.
+    """
+    from dataclasses import replace as dc_replace
+
+    cfg = dc_replace(STREAM_CFG, codec_embed_dim=embed_dim)
+    params = W.fuse_model_params(
+        W.init_code_predictor_params(jax.random.PRNGKey(12), cfg, jnp.float32)
+    )
+    pack = fused_layer.make_stream_pack(params["layers"], cfg.layer_stack())
+    assert pack is not None and pack["tiles"].dtype == jnp.float32
+    params_frame = dict(params)
+    params_frame["stream_pack"] = pack
+    assert fused_layer.supports_cp_frame_kernel(params_frame, cfg)
+
+    rs = np.random.RandomState(7)
+    e = cfg.embed_dim
+    hidden = jnp.asarray(rs.randn(1, 1, e).astype(np.float32))
+    semantic = jnp.asarray(rs.randn(1, 1, e).astype(np.float32))
+    got = np.asarray(
+        fused_layer.streamed_cp_frame(
+            params_frame, cfg, hidden, semantic, resident_override=resident
+        )
+    )
+
+    # Plain unfused tree -> the standard XLA path.
+    base = W.init_code_predictor_params(jax.random.PRNGKey(12), cfg, jnp.float32)
+    want = np.asarray(cp.predict_acoustic_codes(base, cfg, hidden, semantic))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_cp_frame_kernel_in_generation_loop():
     """The whole-frame CP kernel works inside the jitted while_loop."""
     from qwen3_tts_tpu.generation import core, prefill
