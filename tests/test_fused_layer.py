@@ -303,12 +303,14 @@ def test_cp_frame_kernel_in_generation_loop():
     assert (frames[:, 1:] < STREAM_CFG.vocab_size).all() and (frames >= 0).all()
 
 
-@pytest.mark.parametrize("max_seq", [24, 32])
+@pytest.mark.parametrize("max_seq", [24, 32, 288])
 def test_streamed_talker_step_matches_xla(max_seq):
     """Whole-step streamed talker kernel vs the XLA layer scan.
 
     max_seq=24 exercises the whole-plane cache write-back (odd S); 32 the
-    16-row aligned-slab write-back used by all real cache tiers.
+    16-row aligned-slab write-back used by all real cache tiers; 288 the
+    multi-block online-softmax attention (2 blocks of 256 with a clamped,
+    masked-overlap final block — the path every tier above 256 rows uses).
     """
     from qwen3_tts_tpu.models import talker as TM
     from qwen3_tts_tpu.models.config import TalkerConfig
@@ -332,8 +334,9 @@ def test_streamed_talker_step_matches_xla(max_seq):
         jnp.asarray(rs.randn(3, 1, max_seq, 2, 16).astype(np.float32), jnp.bfloat16),
     )
     x = jnp.asarray(rs.randn(1, 1, 64).astype(np.float32), jnp.bfloat16)
-    # Nonzero slab offset for the aligned-slab path (pos 17 -> slab [16, 32)).
-    pos = jnp.int32(5 if max_seq == 24 else 17)
+    # Nonzero slab offset for the aligned-slab path (pos 17 -> slab [16, 32));
+    # pos 270 lands in the clamped second attention block at max_seq=288.
+    pos = jnp.int32({24: 5, 32: 17, 288: 270}[max_seq])
 
     h_ref, logits_ref, cache_ref = TM.decode_step(tparams, tcfg, x, pos, cache)
 
