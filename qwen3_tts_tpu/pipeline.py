@@ -22,6 +22,7 @@ import logging
 import os
 import time
 from dataclasses import dataclass, replace
+from functools import partial
 from pathlib import Path
 
 import jax
@@ -875,6 +876,49 @@ class Qwen3TTS:
         return AudioBuffer(wav[0], T.OUTPUT_SAMPLE_RATE)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("tcfg", "cpcfg", "scfg", "vcfg", "chunk"),
+    donate_argnames=("state",),
+)
+def _advance_and_decode_chunk(
+    talker_params,
+    cp_params,
+    voc_params,
+    tcfg,
+    cpcfg,
+    scfg,
+    vcfg,
+    state,
+    trailing,
+    trailing_len,
+    pad_embed,
+    uniforms,
+    frame_limit,
+    emitted,
+    chunk: int,
+):
+    """One streaming chunk as a SINGLE device program.
+
+    Advancing the while_loop, slicing the chunk's frame rows on-device, and
+    vocoder-decoding them in one jit means one dispatch + one host fetch per
+    chunk instead of two round trips (measured ~30 ms/sync through the
+    remote-TPU tunnel; the decode itself is ~4 ms of device time at chunk
+    10). Rows past ``frame_idx`` are zeros and the vocoder is causal, so
+    the host-side trim to the true frame count is exact — identical to
+    decoding the unpadded rows with a chunk-sized bucket.
+    """
+    state = core.generate_frames(
+        talker_params, cp_params, tcfg, cpcfg, scfg, state,
+        trailing, trailing_len, pad_embed, uniforms, frame_limit,
+    )
+    rows = jax.lax.dynamic_slice(
+        state.frames, (emitted, 0), (chunk, state.frames.shape[1])
+    )  # [chunk, 16]
+    wav = vocoder.decode(voc_params, vcfg, rows.T[None])  # [1, chunk*1920]
+    return state, wav, state.frame_idx, state.done
+
+
 class StreamingSession:
     """Pull-based streaming synthesis; also drives non-streaming synthesis.
 
@@ -967,20 +1011,53 @@ class StreamingSession:
         return np.asarray(frames[:n])
 
     def next_chunk(self) -> AudioBuffer | None:
-        """Generate + decode the next ~chunk_frames frames, or None when done."""
+        """Generate + decode the next ~chunk_frames frames, or None when done.
+
+        Chunked decode: the vocoder sees only this chunk's context, matching
+        the reference's streaming behavior (frame-count parity, not
+        sample-identical to batch decode). Common case is ONE fused device
+        program + ONE host fetch per chunk (_advance_and_decode_chunk); the
+        ICL first chunk (host-side reference-code prefix) and the rare
+        buffer-growth re-entries take the two-dispatch path.
+        """
         if self._exhausted:
             return None
-        target = min(
-            self.frames_emitted + self.options.chunk_frames, self.options.max_length
+        chunk = max(self.options.chunk_frames, 1)
+        target = min(self.frames_emitted + chunk, self.options.max_length)
+        first_chunk = self.frames_emitted == 0
+        prefix = (
+            self.prefix_codes
+            if first_chunk and self.prefix_codes is not None and len(self.prefix_codes)
+            else None
         )
-        # Single host round-trip per chunk in the common case: frames buffer
-        # + counters fetched together; the growth loop (a few times per
-        # utterance at most) re-enters with one extra counter fetch.
+
+        wav = None
         while True:
-            self._advance(target)
-            frames, n, done = jax.device_get(
-                (self.state.frames, self.state.frame_idx, self.state.done)
-            )
+            if prefix is None:
+                self.state, wav_dev, n_dev, done_dev = _advance_and_decode_chunk(
+                    self.model.talker_params,
+                    self.model.cp_params,
+                    self.model.vocoder_params,
+                    self.model.config.talker,
+                    self.model.config.code_predictor,
+                    self.scfg,
+                    self.model.vocoder_config,
+                    self.state,
+                    self.trailing,
+                    self.trailing_len,
+                    self.pad_embed,
+                    self.uniforms,
+                    jnp.int32(target),
+                    jnp.int32(self.frames_emitted),
+                    chunk,
+                )
+                wav, n, done = jax.device_get((wav_dev, n_dev, done_dev))
+                frames = None
+            else:
+                self._advance(target)
+                frames, n, done = jax.device_get(
+                    (self.state.frames, self.state.frame_idx, self.state.done)
+                )
             n, done = int(n), bool(done)
             cap = self.state.frames.shape[0]
             if done or n >= target or n < cap:
@@ -996,28 +1073,41 @@ class StreamingSession:
         if n <= self.frames_emitted:
             self._exhausted = True
             return None
-        new = np.asarray(frames[self.frames_emitted : n])
-        first_chunk = self.frames_emitted == 0
+        true_frames = n - self.frames_emitted
+        emitted_before = self.frames_emitted
         self.frames_emitted = n
         if done:
             self._exhausted = True
-        # Chunked decode: the vocoder sees only this chunk's context, matching
-        # the reference's streaming behavior (frame-count parity, not
-        # sample-identical to batch decode).
-        decode_frames = new
-        cut = 0
-        if first_chunk and self.prefix_codes is not None and len(self.prefix_codes):
-            # Voice-clone context: decode [ref || chunk], emit only the chunk
-            # (exact front cut — the vocoder is causal, 1920 samples/frame).
-            decode_frames = np.concatenate(
-                [np.asarray(self.prefix_codes, np.int32), new], axis=0
-            )
-            cut = len(self.prefix_codes) * T.SAMPLES_PER_FRAME
+        if prefix is None:
+            cap = self.state.frames.shape[0]
+            if emitted_before + chunk > cap:
+                # Rare: EOS at a growth-tier edge where the on-device chunk
+                # slice would have clamped (start = cap - chunk) — re-decode
+                # the true rows host-side instead of using misaligned audio.
+                frames = jax.device_get(self.state.frames)
+                new = np.asarray(frames[emitted_before:n])
+                wavb = vocoder.decode_bucketed(
+                    self.model.vocoder_params,
+                    self.model.vocoder_config,
+                    self.model.codes_to_tensor(new),
+                    bucket=chunk,
+                )
+                return AudioBuffer(wavb[0], T.OUTPUT_SAMPLE_RATE)
+            # Fused path: wav covers rows [emitted, emitted + chunk); rows
+            # past ``n`` were zeros and the stack is causal, so trimming to
+            # the true frame count is exact.
+            samples = np.asarray(wav[0][: true_frames * T.SAMPLES_PER_FRAME])
+            return AudioBuffer(samples, T.OUTPUT_SAMPLE_RATE)
+        # Voice-clone first chunk: decode [ref || chunk], emit only the chunk
+        # (exact front cut — the vocoder is causal, 1920 samples/frame).
+        new = np.asarray(frames[emitted_before:n])
+        decode_frames = np.concatenate([np.asarray(prefix, np.int32), new], axis=0)
+        cut = len(prefix) * T.SAMPLES_PER_FRAME
         wav = vocoder.decode_bucketed(
             self.model.vocoder_params,
             self.model.vocoder_config,
             self.model.codes_to_tensor(decode_frames),
-            bucket=max(self.options.chunk_frames, 1),
+            bucket=chunk,
         )
         return AudioBuffer(wav[0][cut:], T.OUTPUT_SAMPLE_RATE)
 
