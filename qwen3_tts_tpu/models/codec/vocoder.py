@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -143,6 +144,205 @@ def _decode_impl(params: dict, cfg: VocoderConfig, codes: jnp.ndarray) -> jnp.nd
 @partial(jax.jit, static_argnames=("cfg",))
 def decode_jit(params: dict, cfg: VocoderConfig, codes: jnp.ndarray) -> jnp.ndarray:
     return decode(params, cfg, codes)
+
+
+# ---------------------------------------------------------------------------
+# Sample-exact streaming decode
+# ---------------------------------------------------------------------------
+#
+# The reference's streaming vocoder sees only chunk-local context, so its
+# streamed audio is merely frame-count-identical to batch decode
+# (/root/reference/src/lib.rs streaming; tests/streaming_e2e.rs:150-157).
+# This stack is all-causal, which lets us do better: carrying
+#   * the pre_conv left context (2 latent-input rows),
+#   * a KV cache for the causal pre-transformer (full attention history),
+#   * the last MARGIN latent rows for the bounded-receptive-field conv stack
+# across chunks makes concat(stream chunks) IDENTICAL to the one-shot batch
+# decode.
+#
+# Receptive-field accounting for MARGIN (left context, in 12.5 Hz frames,
+# of the post-transformer conv stack; transconv stride r consumes
+# floor(L/r)+1, causal conv k,d consumes L+(k-1)d):
+#   final conv k7: 6 @24k -> block4 res (6+18+54): 84 @24k -> /3 transconv:
+#   29 @8k -> +78: 107 -> /4: 27 @2k -> +78: 105 -> /5: 22 @400 -> +78:
+#   100 -> /8: 13 @50 -> init k7: 19 -> convnext k7: 25 -> /2: 13 @25 ->
+#   convnext: 19 -> /2: 10 frames.
+MARGIN = 12  # > 10-frame exact receptive field (safety slack)
+
+
+class VocoderStreamState(NamedTuple):
+    """Carried vocoder state for sample-exact chunked decode.
+
+    q_hist:      [B, 2, codebook_dim] pre_conv (k3) left context.
+    kv_k, kv_v:  [L, B, maxT, H, D] pre-transformer KV cache.
+    latent_hist: [B, MARGIN, latent_dim] conv-stack left context
+                 (right-aligned; zeros while pos < MARGIN).
+    pos:         [] int32 frames decoded so far.
+    """
+
+    q_hist: jnp.ndarray
+    kv_k: jnp.ndarray
+    kv_v: jnp.ndarray
+    latent_hist: jnp.ndarray
+    pos: jnp.ndarray
+
+
+def init_stream_state(
+    cfg: VocoderConfig, max_frames: int, batch: int = 1
+) -> VocoderStreamState:
+    hd = cfg.num_heads * cfg.head_dim
+    kv_shape = (cfg.num_layers, batch, max_frames, cfg.num_heads, cfg.head_dim)
+    return VocoderStreamState(
+        q_hist=jnp.zeros((batch, 2, cfg.codebook_dim), jnp.float32),
+        kv_k=jnp.zeros(kv_shape, jnp.float32),
+        kv_v=jnp.zeros(kv_shape, jnp.float32),
+        latent_hist=jnp.zeros((batch, MARGIN, cfg.latent_dim), jnp.float32),
+        pos=jnp.int32(0),
+    )
+
+
+def _pre_transformer_cached(
+    params: dict,
+    cfg: VocoderConfig,
+    x: jnp.ndarray,  # [B, S, hidden] new rows at absolute positions pos..pos+S
+    kv_k: jnp.ndarray,  # [L, B, maxT, H, D]
+    kv_v: jnp.ndarray,
+    pos: jnp.ndarray,  # [] int32
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Streaming pre-transformer: identical math to ``_pre_transformer`` with
+    the K/V history read from (and appended to) a cache.
+
+    Bit-parity argument with the batch path: scores/softmax for a query at
+    absolute position p cover exactly rows 0..p in both (cache rows beyond
+    ``pos+S`` are masked to -1e30 -> exact softmax zeros -> exact 0.0
+    contributions in the value sum), and every row-wise matmul reduces over
+    the same contraction dim regardless of sequence length.
+    """
+    b, s, _ = x.shape
+    h_heads, d = cfg.num_heads, cfg.head_dim
+    max_t = kv_k.shape[2]
+
+    inv_freq = tnn.rope_inv_freq(d, cfg.rope_theta)
+    positions = pos + jnp.arange(s, dtype=jnp.int32)
+    cos, sin = tnn.rope_cos_sin(positions.astype(jnp.float32), inv_freq)
+    key_pos = jnp.arange(max_t, dtype=jnp.int32)
+    mask = (key_pos[None, :] <= positions[:, None])[None, None, None]
+
+    def layer(h, inputs):
+        p, ck, cv = inputs
+        normed = tnn.rms_norm(h, p["input_ln"], cfg.rms_norm_eps)
+        q = (normed @ p["q_proj"]).reshape(b, s, h_heads, d)
+        k = (normed @ p["k_proj"]).reshape(b, s, h_heads, d)
+        v = (normed @ p["v_proj"]).reshape(b, s, h_heads, d)
+        q = tnn.apply_rope(q, cos, sin)
+        k = tnn.apply_rope(k, cos, sin)
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, pos, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, pos, 0, 0))
+        attn = tnn.gqa_attention(q, ck, cv, mask, 1.0 / d**0.5)
+        attn = attn.reshape(b, s, h_heads * d) @ p["o_proj"]
+        h = h + attn * p["attn_scale"]
+        normed = tnn.rms_norm(h, p["post_ln"], cfg.rms_norm_eps)
+        mlp = (jax.nn.silu(normed @ p["gate_proj"]) * (normed @ p["up_proj"])) @ p["down_proj"]
+        return h + mlp * p["mlp_scale"], (ck, cv)
+
+    h, (kv_k, kv_v) = jax.lax.scan(layer, x, (params["layers"], kv_k, kv_v))
+    return h, kv_k, kv_v
+
+
+def _mask_before(h: jnp.ndarray, t0: jnp.ndarray) -> jnp.ndarray:
+    """Zero rows with time index < t0 (broadcast over batch/channels)."""
+    idx = jnp.arange(h.shape[1], dtype=jnp.int32)
+    return jnp.where((idx >= t0)[None, :, None], h, jnp.zeros((), h.dtype))
+
+
+def _masked_conv_stack(
+    params: dict, cfg: VocoderConfig, lat: jnp.ndarray, valid_from: jnp.ndarray
+) -> jnp.ndarray:
+    """Post-transformer conv stack over a latent window [B, W, latent_dim]
+    whose first ``valid_from`` rows are placeholders.
+
+    Re-zeroing the placeholder region after every position-mixing op makes
+    those rows behave EXACTLY like the causal zero left-padding of the true
+    from-the-start computation (biases / layer-norm / snake would otherwise
+    leak nonzero values into them). For valid_from == 0 the masks are
+    no-ops and the math is identical to ``_decode_impl``'s tail.
+    """
+    h = _mask_before(lat, valid_from)
+    cum = 1
+    for stage, ratio in zip(params["upsample"], cfg.upsampling_ratios):
+        h = blocks.causal_trans_conv1d(h, stage["up_w"], stage["up_b"], ratio)
+        cum *= ratio
+        h = _mask_before(h, valid_from * cum)
+        h = blocks.convnext_block(h, stage["convnext"])
+        h = _mask_before(h, valid_from * cum)
+    h = blocks.causal_conv1d(h, params["init_conv_w"], params["init_conv_b"])
+    h = _mask_before(h, valid_from * cum)
+    for block, rate in zip(params["decoder_blocks"], cfg.upsample_rates):
+        h = blocks.snake_beta(h, block["snake_alpha"], block["snake_beta"])
+        h = blocks.causal_trans_conv1d(h, block["up_w"], block["up_b"], rate)
+        cum *= rate
+        h = _mask_before(h, valid_from * cum)
+        for key, dil in (("res1", 1), ("res2", 3), ("res3", 9)):
+            h = blocks.residual_unit(h, block[key], dil)
+            h = _mask_before(h, valid_from * cum)
+    h = blocks.snake_beta(h, params["final_snake_alpha"], params["final_snake_beta"])
+    h = blocks.causal_conv1d(h, params["final_conv_w"], params["final_conv_b"])
+    return jnp.clip(h[..., 0], -1.0, 1.0)
+
+
+def decode_stream_chunk(
+    params: dict,
+    cfg: VocoderConfig,
+    state: VocoderStreamState,
+    codes: jnp.ndarray,  # [B, 16, S] the next S frames
+) -> tuple[jnp.ndarray, VocoderStreamState]:
+    """Decode the next chunk of frames, carrying exact causal context.
+
+    Returns ([B, S * total_upsample] f32 audio, updated state). The audio is
+    bit-identical to the corresponding slice of the one-shot batch
+    ``decode`` of all frames fed so far (see tests/test_vocoder.py).
+    """
+    with jax.default_matmul_precision("highest"):
+        return _decode_stream_chunk_impl(params, cfg, state, codes)
+
+
+def _decode_stream_chunk_impl(params, cfg, state, codes):
+    s = codes.shape[-1]
+    q = rvq_deembed(params, cfg, codes.astype(jnp.int32)).astype(jnp.float32)
+
+    # pre_conv (causal k3) with carried left context: prepend the previous 2
+    # rows, run the conv over S+2 rows, keep the last S (their computation is
+    # then identical to the batch conv's rows pos..pos+S; for pos < 2 the
+    # carried rows are still zero == true left padding).
+    q_ext = jnp.concatenate([state.q_hist, q], axis=1)  # [B, S+2, 512]
+    h_ext = blocks.causal_conv1d(q_ext, params["pre_conv_w"], params["pre_conv_b"])
+    h = h_ext[:, 2:, :]
+    h = h @ params["input_proj_w"] + params["input_proj_b"]
+
+    h, kv_k, kv_v = _pre_transformer_cached(
+        params, cfg, h, state.kv_k, state.kv_v, state.pos
+    )
+    h = tnn.rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+    lat = h @ params["output_proj_w"] + params["output_proj_b"]  # [B, S, latent]
+
+    window = jnp.concatenate([state.latent_hist, lat], axis=1)  # [B, M+S, latent]
+    valid_from = jnp.maximum(jnp.int32(MARGIN) - state.pos, 0)
+    wav = _masked_conv_stack(params, cfg, window, valid_from)
+    wav = wav[:, MARGIN * cfg.total_upsample :]  # keep the chunk's samples
+
+    new_state = VocoderStreamState(
+        q_hist=q_ext[:, -2:, :],
+        kv_k=kv_k,
+        kv_v=kv_v,
+        latent_hist=window[:, -MARGIN:, :],
+        pos=state.pos + s,
+    )
+    return wav, new_state
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def decode_stream_chunk_jit(params, cfg: VocoderConfig, state, codes):
+    return decode_stream_chunk(params, cfg, state, codes)
 
 
 def decode_bucketed(

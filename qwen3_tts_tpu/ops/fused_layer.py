@@ -347,7 +347,15 @@ def make_stream_pack(stacked_layers: dict, cfg) -> dict | None:
     """
     if "qkv_proj" not in stacked_layers:
         return None
-    quantized = quant.is_quantized(stacked_layers["qkv_proj"])
+    projs = ("qkv_proj", "o_proj", "gateup_proj", "down_proj")
+    quant_flags = {p: quant.is_quantized(stacked_layers[p]) for p in projs}
+    if len(set(quant_flags.values())) != 1:
+        # Mixed quantization (some projections int8, some plain) has no
+        # uniform tile dtype; the current quantizers are all-or-nothing, so
+        # this is defensive — bail to the unpacked path rather than KeyError
+        # on a missing scale or silently promote mixed-dtype tiles.
+        return None
+    quantized = quant_flags["qkv_proj"]
     h = stacked_layers["input_ln"].shape[-1]
 
     def mat(p):
@@ -851,6 +859,13 @@ def _cp_frame_kernel(
         prev, codes = carry  # [1, 1] int32, [1, 16] int32
 
         # ---- input row: prefill rows for p < 2, group embed for p >= 2 ----
+        # NOTE: ebuf (and below, hbuf at p == 0) is read UNSYNCHRONIZED for
+        # p < 2 — the embed-table DMA waits are predicated on p >= 2 (and the
+        # head wait on p >= 1), so these early reads race in-flight DMAs and
+        # may see garbage. That is intentional and load-bearing: the results
+        # are discarded by the `jnp.where(p >= 2, x_emb, x_pre)` select (and
+        # the p >= 1 `code` selects), keeping the loop body branch-free.
+        # Never use x_emb / code unpredicated.
         g = jnp.maximum(p - 2, 0)
 
         @pl.when(p >= 2)
@@ -955,6 +970,11 @@ def supports_cp_frame_kernel(params: dict, cfg) -> bool:
     if not (quant.is_quantized(heads) or getattr(heads, "ndim", 0) == 3):
         return False
     etab = params["codec_embeddings"]
+    # The kernel's codes output is a fixed [1, 16] row (streamed_cp_frame);
+    # step p writes code lane p - 1, so configs with more than 15 acoustic
+    # groups would silently drop codes past lane 15.
+    if cfg.num_acoustic + 1 > 16:
+        return False
     return etab.shape[1] % 2 == 0
 
 

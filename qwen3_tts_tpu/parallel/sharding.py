@@ -159,6 +159,18 @@ def kv_cache_spec() -> P:
     return P(None, "dp", None, "tp", None)
 
 
+def serving_cache_spec() -> P:
+    """Single-utterance serving cache [L, B=1, S, KV, D]: KV heads on tp only
+    (batch 1 cannot shard over dp; dp stays idle or serves other sessions)."""
+    return P(None, None, None, "tp", None)
+
+
+def batch_cache_spec() -> P:
+    """Batched-serving cache [B, L, 1, S, KV, D] (synthesize_batch layout):
+    utterances on dp, KV heads on tp."""
+    return P("dp", None, None, None, "tp", None)
+
+
 def shard_pytree(params, specs, mesh: Mesh):
     """device_put every leaf with its NamedSharding (specs mirrors the tree)."""
 
@@ -168,3 +180,9 @@ def shard_pytree(params, specs, mesh: Mesh):
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree.map(place, params, specs, is_leaf=lambda x: x is None)
+
+
+def replicate_pytree(params, mesh: Mesh):
+    """device_put every leaf fully replicated over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda leaf: jax.device_put(leaf, sharding), params)

@@ -80,6 +80,13 @@ class SynthesisOptions:
     # streaming default), True = sequential [text || codec] blocks (the
     # mlx-audio non-streaming variant, talker.rs:674-689).
     icl_sequential: bool = False
+    # Sample-exact streaming: carry vocoder state (pre_conv context +
+    # pre-transformer KV + conv-stack margin) across chunks so streamed audio
+    # is identical to one-shot batch decode — beyond the reference, whose
+    # chunked decode only achieves frame-count parity
+    # (tests/streaming_e2e.rs:150-157). False = legacy chunk-local context
+    # (the reference behavior; marginally cheaper per chunk).
+    streaming_exact: bool = True
 
     def sampling_config(self) -> sampling.SamplingConfig:
         return sampling.SamplingConfig(
@@ -214,6 +221,51 @@ class Qwen3TTS:
         self.tokenizer = tokenizer
         self.speaker_encoder = speaker_encoder
         self.speech_encoder = speech_encoder
+        # Multi-chip serving mesh (None = single device). Set via shard().
+        self.mesh = None
+
+    # ------------------------------------------------------------------
+    # Multi-chip sharding
+    # ------------------------------------------------------------------
+
+    def shard(self, mesh) -> "Qwen3TTS":
+        """Place the model onto a ``jax.sharding.Mesh`` for tp/dp serving.
+
+        Tensor-parallel weight placement (parallel/sharding.py specs: heads /
+        MLP intermediate / vocab on ``tp``; norms and embeddings replicated)
+        plus replication of the f32 vocoder. KV caches created afterwards are
+        sharded over KV heads on tp (``serving_cache_spec``); XLA/GSPMD
+        inserts the psums on the row-parallel matmuls. ``synthesize_batch``
+        additionally shards the utterance batch over ``dp``.
+
+        The single-chip Pallas stream kernels (manual-DMA custom calls) are
+        not GSPMD-partitionable, so any stream packs are dropped here — the
+        multi-chip compute path is the XLA layer scan, where tp divides the
+        per-chip weight streaming that the packs exist to optimize.
+        New design beyond the reference, which is strictly single-device
+        (src/lib.rs:169-172, SURVEY §2.3). Returns self.
+        """
+        from .parallel import sharding as S
+
+        for tree in (self.talker_params, self.cp_params):
+            if tree.pop("stream_pack", None) is not None:
+                logger.info(
+                    "shard(): dropping single-chip stream pack; multi-chip "
+                    "uses the GSPMD layer-scan path."
+                )
+        self.talker_params = S.shard_pytree(
+            self.talker_params,
+            S.talker_specs(self.config.talker, self.talker_params),
+            mesh,
+        )
+        self.cp_params = S.shard_pytree(
+            self.cp_params,
+            S.code_predictor_specs(self.config.code_predictor, self.cp_params),
+            mesh,
+        )
+        self.vocoder_params = S.replicate_pytree(self.vocoder_params, mesh)
+        self.mesh = mesh
+        return self
 
     # ------------------------------------------------------------------
     # Loading
@@ -228,6 +280,7 @@ class Qwen3TTS:
         mimi_config=None,
         dtype=jnp.bfloat16,
         quantize_int8: bool = False,
+        mesh=None,
     ) -> "Qwen3TTS":
         """Load from a local HF checkpoint directory (config.json +
         model.safetensors + speech_tokenizer/model.safetensors).
@@ -237,6 +290,8 @@ class Qwen3TTS:
         ``dtype`` is the talker/code-predictor compute dtype — bf16 for TPU
         serving (the reference's CUDA/Metal policy), f32 for CPU numerics
         parity (the reference's CPU policy, src/lib.rs:1436).
+        ``mesh``: optional ``jax.sharding.Mesh`` — the model is sharded for
+        tp/dp serving at load time (see :meth:`shard`).
         """
         vocoder_config = vocoder_config or vocoder.VocoderConfig()
         model_dir = Path(model_dir)
@@ -283,7 +338,7 @@ class Qwen3TTS:
             except Exception:  # noqa: BLE001 — ICL optional, mirrors reference
                 speech_encoder = None
 
-        return cls(
+        model = cls(
             config,
             talker_params,
             cp_params,
@@ -294,6 +349,9 @@ class Qwen3TTS:
             vocoder_config=vocoder_config,
             quantize_int8=quantize_int8,
         )
+        if mesh is not None:
+            model.shard(mesh)
+        return model
 
     @classmethod
     def from_random(
@@ -360,12 +418,24 @@ class Qwen3TTS:
         # multiples of 16 already, so alignment is preserved across _grow.
         rows = prefill_bucket + max_new_bucket + 8
         rows = ((rows + 15) // 16) * 16
-        return nn.init_kv_cache(
+        cache = nn.init_kv_cache(
             self.config.talker.layer_stack(),
             batch=1,
             max_seq=rows,
             dtype=self.compute_dtype,
         )
+        return self._place_cache(cache)
+
+    def _place_cache(self, cache: nn.KVCache) -> nn.KVCache:
+        """Shard a serving cache over the mesh (KV heads on tp), if any."""
+        if self.mesh is None:
+            return cache
+        from jax.sharding import NamedSharding
+
+        from .parallel import sharding as S
+
+        sh = NamedSharding(self.mesh, S.serving_cache_spec())
+        return nn.KVCache(jax.device_put(cache.k, sh), jax.device_put(cache.v, sh))
 
     def _make_session(self, started, options: SynthesisOptions, uniforms) -> "StreamingSession":
         state, trailing, trailing_len, pad = started
@@ -667,12 +737,38 @@ class Qwen3TTS:
             )
         )
 
+        text_ids = jnp.asarray(text_ids)
+        if self.mesh is not None:
+            # dp x tp batched serving: utterances over dp, KV heads over tp.
+            # Requires b % dp == 0 (GSPMD even-shard constraint).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from .parallel import sharding as S
+
+            dp = self.mesh.shape.get("dp", 1)
+            if b % dp == 0:
+                batch_sh = lambda spec: NamedSharding(self.mesh, spec)
+                caches = nn.KVCache(
+                    jax.device_put(caches.k, batch_sh(S.batch_cache_spec())),
+                    jax.device_put(caches.v, batch_sh(S.batch_cache_spec())),
+                )
+                uniforms = jax.device_put(uniforms, batch_sh(P("dp", None)))
+                text_ids = jax.device_put(text_ids, batch_sh(P("dp", None)))
+                text_lens = jax.device_put(text_lens, batch_sh(P("dp")))
+                speaker_ids = jax.device_put(speaker_ids, batch_sh(P("dp")))
+                lang_ids = jax.device_put(lang_ids, batch_sh(P("dp")))
+            else:
+                logger.warning(
+                    "synthesize_batch: batch %d not divisible by dp=%d; "
+                    "running without dp sharding.", b, dp,
+                )
+
         scfg = options.sampling_config()
         states, trailing, trailing_lens, pads = gbatch.prefill_custom_voice_batch(
             self.talker_params,
             self.config.talker,
             scfg,
-            jnp.asarray(text_ids),
+            text_ids,
             text_lens,
             speaker_ids,
             lang_ids,
@@ -919,6 +1015,51 @@ def _advance_and_decode_chunk(
     return state, wav, state.frame_idx, state.done
 
 
+@partial(
+    jax.jit,
+    static_argnames=("tcfg", "cpcfg", "scfg", "vcfg", "chunk"),
+    donate_argnames=("state", "vstate"),
+)
+def _advance_and_decode_chunk_exact(
+    talker_params,
+    cp_params,
+    voc_params,
+    tcfg,
+    cpcfg,
+    scfg,
+    vcfg,
+    state,
+    vstate,
+    trailing,
+    trailing_len,
+    pad_embed,
+    uniforms,
+    frame_limit,
+    emitted,
+    chunk: int,
+):
+    """Streaming chunk with SAMPLE-EXACT decode, one device program.
+
+    Like ``_advance_and_decode_chunk`` but the vocoder carries causal state
+    (``vocoder.VocoderStreamState``) across chunks, so the concatenated
+    stream equals the one-shot batch decode (up to matmul-tiling ulps; see
+    models/codec/vocoder.py). The frames buffer is padded by ``chunk`` rows
+    in-program so the chunk slice never clamps at the final partial chunk.
+    """
+    state = core.generate_frames(
+        talker_params, cp_params, tcfg, cpcfg, scfg, state,
+        trailing, trailing_len, pad_embed, uniforms, frame_limit,
+    )
+    frames_ext = jnp.concatenate(
+        [state.frames, jnp.zeros((chunk, state.frames.shape[1]), state.frames.dtype)]
+    )
+    rows = jax.lax.dynamic_slice(
+        frames_ext, (emitted, 0), (chunk, frames_ext.shape[1])
+    )  # [chunk, 16]
+    wav, vstate = vocoder.decode_stream_chunk(voc_params, vcfg, vstate, rows.T[None])
+    return state, vstate, wav, state.frame_idx, state.done
+
+
 class StreamingSession:
     """Pull-based streaming synthesis; also drives non-streaming synthesis.
 
@@ -943,6 +1084,8 @@ class StreamingSession:
         # of the FIRST chunk, then cut from the output (the streaming
         # equivalent of the batch path's prepend-and-cut, src/lib.rs:1022-1044).
         self.prefix_codes: np.ndarray | None = None
+        # Sample-exact streaming vocoder carry (options.streaming_exact).
+        self.vstate: vocoder.VocoderStreamState | None = None
 
     @property
     def frames_generated(self) -> int:
@@ -975,7 +1118,51 @@ class StreamingSession:
         )
         pad = ((0, 0), (0, 0), (0, delta), (0, 0), (0, 0))
         cache = nn.KVCache(jnp.pad(s.cache.k, pad), jnp.pad(s.cache.v, pad))
+        cache = self.model._place_cache(cache)
         self.state = s._replace(cache=cache, frames=frames)
+        if self.vstate is not None:
+            # Keep the streaming vocoder KV capacity in step with the frame
+            # buffer (rows past pos are zeros and masked — exactness holds).
+            kv_pad = ((0, 0), (0, 0), (0, delta), (0, 0), (0, 0))
+            self.vstate = self.vstate._replace(
+                kv_k=jnp.pad(self.vstate.kv_k, kv_pad),
+                kv_v=jnp.pad(self.vstate.kv_v, kv_pad),
+            )
+
+    def _ensure_vstate(self, prefix_frames: int = 0) -> None:
+        if self.vstate is None:
+            max_t = self.state.frames.shape[0]
+            if prefix_frames:
+                max_t += next_bucket(prefix_frames, DECODE_BUCKET)
+            self.vstate = vocoder.init_stream_state(
+                self.model.vocoder_config, max_frames=max_t
+            )
+
+    def _feed_prefix(self, prefix: np.ndarray, chunk: int) -> None:
+        """Advance the vocoder stream state through ICL reference codes
+        without emitting audio — the sample-exact streaming equivalent of the
+        batch path's prepend-and-proportional-cut (src/lib.rs:1022-1044).
+
+        Pieces are chunk-sized plus a binary decomposition of the remainder,
+        so only O(log chunk) distinct program shapes ever compile.
+        """
+        n = len(prefix)
+        sizes = [chunk] * (n // chunk)
+        r, bit = n % chunk, 1
+        while bit <= r:
+            if r & bit:
+                sizes.append(bit)
+            bit <<= 1
+        i = 0
+        for s in sizes:
+            rows = np.ascontiguousarray(prefix[i : i + s])
+            _, self.vstate = vocoder.decode_stream_chunk_jit(
+                self.model.vocoder_params,
+                self.model.vocoder_config,
+                self.vstate,
+                jnp.asarray(rows.T[None]),
+            )
+            i += s
 
     def _advance_managed(self, target: int) -> tuple[int, bool]:
         """Advance to ``target`` total frames, growing buffers per tier.
@@ -1013,16 +1200,78 @@ class StreamingSession:
     def next_chunk(self) -> AudioBuffer | None:
         """Generate + decode the next ~chunk_frames frames, or None when done.
 
-        Chunked decode: the vocoder sees only this chunk's context, matching
-        the reference's streaming behavior (frame-count parity, not
-        sample-identical to batch decode). Common case is ONE fused device
-        program + ONE host fetch per chunk (_advance_and_decode_chunk); the
-        ICL first chunk (host-side reference-code prefix) and the rare
-        buffer-growth re-entries take the two-dispatch path.
+        Default (options.streaming_exact): the vocoder carries causal state
+        across chunks, so the concatenated stream is IDENTICAL to one-shot
+        batch decode — one fused device program + one host fetch per chunk.
+        Legacy mode decodes each chunk with chunk-local context only (the
+        reference's streaming behavior: frame-count parity, not
+        sample-identical, src/lib.rs:1650-1759).
         """
         if self._exhausted:
             return None
         chunk = max(self.options.chunk_frames, 1)
+        if self.options.streaming_exact:
+            return self._next_chunk_exact(chunk)
+        return self._next_chunk_legacy(chunk)
+
+    def _next_chunk_exact(self, chunk: int) -> AudioBuffer | None:
+        target = min(self.frames_emitted + chunk, self.options.max_length)
+        # Pre-grow the frame/cache buffers so the fused program runs exactly
+        # once per chunk (generate_frames only stops early at the buffer cap;
+        # cap >= target means no mid-chunk re-entry, which would double-feed
+        # the stateful vocoder).
+        while self.state.frames.shape[0] < target:
+            cap = self.state.frames.shape[0]
+            new_cap = min(
+                next_bucket(cap + 1, buckets=FRAME_BUCKETS),
+                next_bucket(self.options.max_length, buckets=FRAME_BUCKETS),
+            )
+            if new_cap <= cap:
+                break
+            self._grow(new_cap)
+        if self.frames_emitted == 0:
+            prefix = (
+                self.prefix_codes
+                if self.prefix_codes is not None and len(self.prefix_codes)
+                else None
+            )
+            self._ensure_vstate(len(prefix) if prefix is not None else 0)
+            if prefix is not None:
+                self._feed_prefix(np.asarray(prefix, np.int32), chunk)
+        self.state, self.vstate, wav_dev, n_dev, done_dev = _advance_and_decode_chunk_exact(
+            self.model.talker_params,
+            self.model.cp_params,
+            self.model.vocoder_params,
+            self.model.config.talker,
+            self.model.config.code_predictor,
+            self.scfg,
+            self.model.vocoder_config,
+            self.state,
+            self.vstate,
+            self.trailing,
+            self.trailing_len,
+            self.pad_embed,
+            self.uniforms,
+            jnp.int32(target),
+            jnp.int32(self.frames_emitted),
+            chunk,
+        )
+        wav, n, done = jax.device_get((wav_dev, n_dev, done_dev))
+        n, done = int(n), bool(done)
+        done = done or n >= self.options.max_length
+        if n <= self.frames_emitted:
+            self._exhausted = True
+            return None
+        true_frames = n - self.frames_emitted
+        self.frames_emitted = n
+        if done:
+            self._exhausted = True
+        # Rows past ``n`` in the chunk were zero-code frames; they advanced
+        # the (now-dead) vocoder state but their samples are trimmed here.
+        samples = np.asarray(wav[0][: true_frames * T.SAMPLES_PER_FRAME])
+        return AudioBuffer(samples, T.OUTPUT_SAMPLE_RATE)
+
+    def _next_chunk_legacy(self, chunk: int) -> AudioBuffer | None:
         target = min(self.frames_emitted + chunk, self.options.max_length)
         first_chunk = self.frames_emitted == 0
         prefix = (

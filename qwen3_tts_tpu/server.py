@@ -11,6 +11,13 @@ Endpoints
 ---------
 POST /v1/synthesize   {"text": ..., "speaker": "ryan", "language": "english",
                        "seed": 42, "max_frames": 2048, ...} -> audio/wav
+POST /v1/synthesize_streaming
+                      same body (+ optional "chunk_frames") -> chunked
+                      audio/wav: a streaming RIFF header followed by PCM16
+                      audio, one HTTP chunk per generated audio chunk
+                      (TTFA = first-chunk latency, not whole-utterance).
+                      With the default sample-exact streaming decode the
+                      reassembled PCM equals the non-streaming response.
 GET  /healthz         liveness
 GET  /v1/model        variant + capability report
 
@@ -45,6 +52,19 @@ class _Request:
     done: threading.Event = field(default_factory=threading.Event)
     result: np.ndarray | None = None
     error: str | None = None
+
+
+@dataclass
+class _StreamRequest:
+    """Streaming synthesis job: the engine worker drives the TPU session and
+    pushes each audio chunk (np.ndarray float32) into ``chunks``; ``None``
+    terminates the stream; an ``Exception`` reports failure."""
+
+    text: str
+    speaker: str
+    language: str
+    options: "SynthesisOptions"
+    chunks: queue.Queue = field(default_factory=queue.Queue)
 
 
 class BatchingEngine:
@@ -87,10 +107,19 @@ class BatchingEngine:
             o.icl_sequential,
         )
 
+    def submit_stream(self, req: _StreamRequest) -> _StreamRequest:
+        """Enqueue a streaming job; chunks arrive on ``req.chunks``."""
+        self.queue.put(req)
+        return req
+
     def _collect(self) -> list[list[_Request]]:
         """Gather up to max_batch requests within the window, grouped by
         options signature so no request runs with another's sampling params."""
         first = self.queue.get()
+        # Streaming jobs run solo (they hold the device for the session
+        # duration, yielding chunks as they decode).
+        if isinstance(first, _StreamRequest):
+            return [[first]]
         batch = [first]
         deadline = time.monotonic() + self.batch_window_s
         while len(batch) < self.max_batch:
@@ -98,9 +127,14 @@ class BatchingEngine:
             if remaining <= 0:
                 break
             try:
-                batch.append(self.queue.get(timeout=remaining))
+                nxt = self.queue.get(timeout=remaining)
             except queue.Empty:
                 break
+            if isinstance(nxt, _StreamRequest):
+                # Runs solo after this batch; keep FIFO by re-queueing.
+                self.queue.put(nxt)
+                break
+            batch.append(nxt)
         groups: dict[tuple, list[_Request]] = {}
         for r in batch:
             groups.setdefault(self._options_signature(r), []).append(r)
@@ -111,6 +145,9 @@ class BatchingEngine:
 
         while True:
             for batch in self._collect():
+                if len(batch) == 1 and isinstance(batch[0], _StreamRequest):
+                    self._run_stream(batch[0])
+                    continue
                 try:
                     if len(batch) == 1:
                         r = batch[0]
@@ -148,6 +185,35 @@ class BatchingEngine:
                     for r in batch:
                         r.done.set()
 
+    def _run_stream(self, req: _StreamRequest) -> None:
+        """Drive one streaming session, chunk by chunk, on the worker."""
+        try:
+            session = self.model.synthesize_streaming(
+                req.text, req.speaker, req.language, req.options
+            )
+            for chunk in session:
+                req.chunks.put(np.asarray(chunk.samples))
+        except Exception as e:  # noqa: BLE001 — forward to the HTTP handler
+            logger.exception("streaming synthesis failed")
+            req.chunks.put(e)
+            return
+        req.chunks.put(None)
+
+
+def _wav_stream_header(rate: int = 24000) -> bytes:
+    """RIFF/WAVE header with unknown-length placeholders (0xFFFFFFFF) for
+    chunked streaming — players and decoders read PCM to EOF."""
+    import struct
+
+    return (
+        b"RIFF"
+        + struct.pack("<I", 0xFFFFFFFF)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", 0xFFFFFFFF)
+    )
+
 
 def _wav_bytes(samples: np.ndarray, rate: int = 24000) -> bytes:
     buf = io.BytesIO()
@@ -164,6 +230,8 @@ def make_handler(engine: BatchingEngine, model):
     from .pipeline import SynthesisOptions
 
     class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"  # required for chunked transfer
+
         def log_message(self, fmt, *args):  # route through logging
             logger.info("%s " + fmt, self.client_address[0], *args)
 
@@ -192,21 +260,30 @@ def make_handler(engine: BatchingEngine, model):
             else:
                 self._json(404, {"error": "not found"})
 
+        def _parse_synthesis_payload(self):
+            length = int(self.headers.get("Content-Length", 0))
+            payload = json.loads(self.rfile.read(length) or b"{}")
+            options = SynthesisOptions(
+                max_length=int(payload.get("max_frames", 2048)),
+                temperature=float(payload.get("temperature", 0.9)),
+                top_k=int(payload.get("top_k", 50)),
+                top_p=float(payload.get("top_p", 0.9)),
+                repetition_penalty=float(payload.get("repetition_penalty", 1.05)),
+                seed=payload.get("seed"),
+                chunk_frames=int(payload.get("chunk_frames", 10)),
+            )
+            return payload, options
+
         def do_POST(self):
-            if self.path != "/v1/synthesize":
-                self._json(404, {"error": "not found"})
-                return
+            if self.path == "/v1/synthesize":
+                return self._post_synthesize()
+            if self.path == "/v1/synthesize_streaming":
+                return self._post_synthesize_streaming()
+            self._json(404, {"error": "not found"})
+
+        def _post_synthesize(self):
             try:
-                length = int(self.headers.get("Content-Length", 0))
-                payload = json.loads(self.rfile.read(length) or b"{}")
-                options = SynthesisOptions(
-                    max_length=int(payload.get("max_frames", 2048)),
-                    temperature=float(payload.get("temperature", 0.9)),
-                    top_k=int(payload.get("top_k", 50)),
-                    top_p=float(payload.get("top_p", 0.9)),
-                    repetition_penalty=float(payload.get("repetition_penalty", 1.05)),
-                    seed=payload.get("seed"),
-                )
+                payload, options = self._parse_synthesis_payload()
                 req = _Request(
                     text=str(payload.get("text", "")),
                     speaker=str(payload.get("speaker", "ryan")),
@@ -227,6 +304,46 @@ def make_handler(engine: BatchingEngine, model):
             self.send_header("Content-Length", str(len(wav)))
             self.end_headers()
             self.wfile.write(wav)
+
+        def _write_http_chunk(self, data: bytes):
+            self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
+
+        def _post_synthesize_streaming(self):
+            """Chunked-transfer WAV: header + one PCM16 chunk per audio
+            chunk as it comes off the TPU. With sample-exact streaming
+            (SynthesisOptions default) the reassembled PCM is identical to
+            the non-streaming endpoint's."""
+            try:
+                payload, options = self._parse_synthesis_payload()
+                req = _StreamRequest(
+                    text=str(payload.get("text", "")),
+                    speaker=str(payload.get("speaker", "ryan")),
+                    language=str(payload.get("language", "english")),
+                    options=options,
+                )
+            except (ValueError, json.JSONDecodeError) as e:
+                self._json(400, {"error": f"bad request: {e}"})
+                return
+
+            engine.submit_stream(req)
+            first = req.chunks.get(timeout=300.0)
+            if isinstance(first, Exception):
+                self._json(500, {"error": str(first)})
+                return
+
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            self._write_http_chunk(_wav_stream_header())
+            chunk = first
+            while chunk is not None:
+                if isinstance(chunk, Exception):
+                    break  # mid-stream failure: truncate the stream
+                pcm = (np.clip(chunk, -1, 1) * 32767.0).astype("<i2")
+                self._write_http_chunk(pcm.tobytes())
+                chunk = req.chunks.get(timeout=300.0)
+            self.wfile.write(b"0\r\n\r\n")
 
     return Handler
 

@@ -502,3 +502,18 @@ def test_streamed_talker_full_pipeline_codes():
     frames = sess.run_to_completion()
     assert frames.shape == (6, 16)
     assert (frames[:, 1:] < cp_cfg.vocab_size).all() and (frames >= 0).all()
+
+    # Guardrail against a genuine both-packs interaction regression: the
+    # same quantized trees WITHOUT the packs must agree on the early frames
+    # (near-tie argmax flips from ~1-ulp kernel rounding only accumulate
+    # later in the sequence) and on a high fraction of all codes.
+    m_plain = Qwen3TTS(*args, vocoder_config=tiny_voc, quantize_int8=True)
+    m_plain.talker_params.pop("stream_pack")
+    m_plain.cp_params.pop("stream_pack")
+    sess_p = m_plain.synthesize_streaming("stream talker", "ryan", "english", opts)
+    frames_p = sess_p.run_to_completion()
+    n = min(len(frames), len(frames_p))
+    assert n >= 2
+    np.testing.assert_array_equal(frames[:2], frames_p[:2])
+    agreement = (frames[:n] == frames_p[:n]).mean()
+    assert agreement >= 0.9, f"stream-pack code agreement {agreement:.2%} < 90%"

@@ -109,3 +109,41 @@ def test_encoder_frame_rate():
     # total downsample = 4*3*2 = 24 samples/frame for this small config
     codes = enc.encode(np.zeros(240, np.float32))
     assert codes.shape == (10, 4)
+
+
+def test_encoder_bucketed_matches_eager():
+    """Bucketed jitted encode (the production path) must produce codes
+    identical to the eager full-graph forward at several audio lengths,
+    including ones that stress the strided-conv masking (non-multiples of
+    every ratio) — VERDICT r2 weak-item 3."""
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.models.codec import encoder as E
+
+    cfg, model = small_hf_mimi()
+    ours_cfg = MimiEncoderConfig(
+        num_filters=8, ratios=(4, 3), hidden_size=16, num_layers=2, num_heads=2,
+        head_dim=8, intermediate_size=32, sliding_window=50, codebook_size=16,
+        codebook_dim=8, num_quantizers=4,
+    )
+    weights = {"encoder." + k: v.detach().numpy() for k, v in model.state_dict().items()}
+    enc = Encoder12Hz.from_weights(weights, ours_cfg)
+
+    rs = np.random.RandomState(7)
+    for n in (240, 241, 250, 1023):
+        audio = (rs.randn(n) * 0.2).astype(np.float32)
+        eager = np.asarray(E.forward(enc.params, ours_cfg, jnp.asarray(audio)[None])[0])
+        bucketed = enc.encode(audio)
+        assert bucketed.shape == eager.shape, (n, bucketed.shape, eager.shape)
+        mismatch = (bucketed != eager).mean()
+        assert mismatch == 0.0, f"n={n}: mismatch fraction {mismatch}"
+
+
+def test_encoder_stage_lengths():
+    from qwen3_tts_tpu.models.codec import encoder as E
+
+    cfg = MimiEncoderConfig()  # production dims: 960 samples per 25 Hz step
+    lens, t25, t12 = E.stage_lengths(cfg, 24000)
+    assert t25 == 25 and t12 == 13
+    lens, t25, t12 = E.stage_lengths(cfg, 24001)
+    assert t25 == 26 and t12 == 13

@@ -278,3 +278,77 @@ def test_segmented_growth_streaming_chunks(model):
     chunks = list(session)
     total = sum(len(c) for c in chunks)
     assert total == 280 * T.SAMPLES_PER_FRAME
+
+
+def test_streaming_sample_exact_vs_batch(model):
+    """Default streaming (streaming_exact=True): the concatenated chunk audio
+    must equal decode_codes(frames) — not just frame-count parity (VERDICT
+    r2 next-item 2). Tolerance covers matmul-tiling ulps only."""
+    opts = SynthesisOptions(max_length=8, seed=42, chunk_frames=3)
+    session = model.synthesize_streaming("exact stream", "ryan", "english", opts)
+    chunks = [np.asarray(c.samples) for c in session]
+    stream = np.concatenate(chunks)
+
+    session2 = model.synthesize_streaming("exact stream", "ryan", "english", opts)
+    frames = session2.run_to_completion()
+    batch = model.decode_codes(frames)
+    assert len(stream) == len(batch.samples)
+    np.testing.assert_allclose(stream, batch.samples, rtol=0, atol=2e-6)
+
+
+def test_streaming_sample_exact_with_growth(model):
+    """Exact streaming across a buffer-growth tier boundary (the KV pad path
+    in StreamingSession._grow)."""
+    import qwen3_tts_tpu.pipeline as P
+
+    old_buckets, old_initial = P.FRAME_BUCKETS, P.GROWTH_INITIAL_FRAMES
+    P.FRAME_BUCKETS, P.GROWTH_INITIAL_FRAMES = (4, 8, 16), 4
+    try:
+        opts = SynthesisOptions(max_length=10, seed=11, chunk_frames=3)
+        session = model.synthesize_streaming("grow exact", "ryan", "english", opts)
+        stream = np.concatenate([np.asarray(c.samples) for c in session])
+        opts2 = SynthesisOptions(max_length=10, seed=11, chunk_frames=3)
+        session2 = model.synthesize_streaming("grow exact", "ryan", "english", opts2)
+        frames = session2.run_to_completion()
+        batch = model.decode_codes(frames)
+        assert len(stream) == len(batch.samples)
+        np.testing.assert_allclose(stream, batch.samples, rtol=0, atol=2e-6)
+    finally:
+        P.FRAME_BUCKETS, P.GROWTH_INITIAL_FRAMES = old_buckets, old_initial
+
+
+def test_streaming_exact_icl_prefix(model):
+    """Exact streaming with an ICL reference prefix: the prefix advances the
+    vocoder state without being emitted, so the stream equals the batch
+    decode of [prefix || frames] minus the prefix samples."""
+    rs = np.random.RandomState(9)
+    n_ref = 7
+    prompt = VoiceClonePrompt(
+        speaker_embedding=rs.randn(64).astype(np.float32),
+        ref_codes=rs.randint(0, 128, size=(n_ref, 16)).astype(np.int32),
+        ref_text_ids=[7, 9],
+    )
+    opts = SynthesisOptions(max_length=8, seed=42, chunk_frames=3)
+    session = model.synthesize_voice_clone_streaming("icl exact", prompt, "english", opts)
+    stream = np.concatenate([np.asarray(c.samples) for c in session])
+
+    opts2 = SynthesisOptions(max_length=8, seed=42, chunk_frames=3)
+    session2 = model.synthesize_voice_clone_streaming("icl exact", prompt, "english", opts2)
+    frames = session2.run_to_completion()
+    combined = np.concatenate([prompt.ref_codes, frames], axis=0)
+    batch = model.decode_codes(combined)
+    expect = np.asarray(batch.samples)[n_ref * T.SAMPLES_PER_FRAME :]
+    assert len(stream) == len(expect)
+    np.testing.assert_allclose(stream, expect, rtol=0, atol=2e-6)
+
+
+def test_streaming_legacy_mode_still_available(model):
+    """streaming_exact=False reproduces the reference's chunk-local decode."""
+    opts = SynthesisOptions(max_length=8, seed=42, chunk_frames=3, streaming_exact=False)
+    session = model.synthesize_streaming("legacy stream", "ryan", "english", opts)
+    chunks = list(session)
+    assert session.vstate is None
+    _, timing = model.synthesize_with_timing(
+        "legacy stream", "ryan", "english", SynthesisOptions(max_length=8, seed=42)
+    )
+    assert sum(len(c) for c in chunks) == timing.generation_frames * T.SAMPLES_PER_FRAME

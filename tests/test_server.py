@@ -193,3 +193,52 @@ def test_bad_request(running_server):
         raise AssertionError("expected HTTPError")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_streaming_endpoint_chunked_wav(running_server):
+    """POST /v1/synthesize_streaming returns chunked WAV whose PCM payload
+    reassembles to the non-streaming endpoint's PCM (sample-exact streaming
+    decode; VERDICT r2 next-item 6)."""
+    payload = {"text": "stream bytes", "seed": 42, "max_frames": 6, "chunk_frames": 3}
+    _, _, batch_body = _post(running_server, payload)
+
+    req = urllib.request.Request(
+        running_server + "/v1/synthesize_streaming",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        assert resp.status == 200
+        assert resp.headers.get("Content-Type") == "audio/wav"
+        stream_body = resp.read()  # urllib de-chunks transparently
+
+    assert stream_body[:4] == b"RIFF" and stream_body[8:12] == b"WAVE"
+    # Identical PCM payload after the 44-byte headers.
+    assert stream_body[44:] == batch_body[44:]
+    assert len(stream_body) > 44
+
+
+def test_streaming_engine_float_parity():
+    """Engine-level float check (PCM16 quantizes the tiny model to silence):
+    the streamed chunks concatenate to the non-streaming samples."""
+    import numpy as np
+
+    from qwen3_tts_tpu.pipeline import SynthesisOptions
+
+    model = tp.tiny_model()
+    opts = SynthesisOptions(max_length=6, seed=3, chunk_frames=2)
+    alone = model.synthesize_with_voice("float parity", options=opts)
+
+    engine = srv.BatchingEngine(model, max_batch=2, batch_window_ms=10)
+    req = srv._StreamRequest("float parity", "ryan", "english", opts)
+    engine.submit_stream(req)
+    chunks = []
+    while True:
+        item = req.chunks.get(timeout=120)
+        assert not isinstance(item, Exception)
+        if item is None:
+            break
+        chunks.append(item)
+    stream = np.concatenate(chunks)
+    assert len(stream) == len(alone.samples)
+    np.testing.assert_allclose(stream, alone.samples, rtol=0, atol=2e-6)
