@@ -39,6 +39,7 @@ parity: native
 		--seed 42 --output /tmp/parity_check.wav
 	$(PY) scripts/quality_check.py /tmp/parity_check.wav
 	$(PY) scripts/test_variants.py --ckpt $(MODEL_DIR)
+	$(PY) scripts/quant_report.py --model-dir $(MODEL_DIR) --out /tmp/quant_report.json
 
 profile-trace:
 	$(PY) -m qwen3_tts_tpu --model-dir $(MODEL_DIR) --text "profile me" \

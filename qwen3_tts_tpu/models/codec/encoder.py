@@ -289,6 +289,64 @@ def forward_bucketed(
 _forward_bucketed_jit = jax.jit(forward_bucketed, static_argnames=("cfg",))
 
 
+def init_encoder_params(key, cfg: MimiEncoderConfig = MimiEncoderConfig()) -> dict:
+    """Random-init encoder pytree at ``cfg`` dims (benchmarks / tests —
+    encode wall time is weight-independent)."""
+    keys = iter(jax.random.split(key, 128))
+
+    def rnd(shape, scale=0.2):
+        return jax.random.normal(next(keys), shape, jnp.float32) * scale
+
+    ch = cfg.num_filters
+    stages = []
+    for r in reversed(cfg.ratios):
+        stages.append(
+            {
+                "resnet": {
+                    "conv1_w": rnd((cfg.residual_kernel_size, ch, ch // cfg.compress)),
+                    "conv1_b": jnp.zeros(ch // cfg.compress),
+                    "conv2_w": rnd((1, ch // cfg.compress, ch)),
+                    "conv2_b": jnp.zeros(ch),
+                },
+                "down_w": rnd((2 * r, ch, ch * 2)),
+                "down_b": jnp.zeros(ch * 2),
+                "ratio": r,
+            }
+        )
+        ch *= 2
+    hd = cfg.num_heads * cfg.head_dim
+    layers = [
+        {
+            "ln1_w": jnp.ones(cfg.hidden_size), "ln1_b": jnp.zeros(cfg.hidden_size),
+            "q_proj": rnd((cfg.hidden_size, hd)), "k_proj": rnd((cfg.hidden_size, hd)),
+            "v_proj": rnd((cfg.hidden_size, hd)), "o_proj": rnd((hd, cfg.hidden_size)),
+            "attn_scale": jnp.full(cfg.hidden_size, cfg.layer_scale),
+            "ln2_w": jnp.ones(cfg.hidden_size), "ln2_b": jnp.zeros(cfg.hidden_size),
+            "fc1": rnd((cfg.hidden_size, cfg.intermediate_size)),
+            "fc2": rnd((cfg.intermediate_size, cfg.hidden_size)),
+            "mlp_scale": jnp.full(cfg.hidden_size, cfg.layer_scale),
+        }
+        for _ in range(cfg.num_layers)
+    ]
+    return {
+        "seanet": {
+            "init_w": rnd((cfg.kernel_size, 1, cfg.num_filters)),
+            "init_b": jnp.zeros(cfg.num_filters),
+            "stages": stages,
+            "final_w": rnd((cfg.last_kernel_size, ch, cfg.hidden_size)),
+            "final_b": jnp.zeros(cfg.hidden_size),
+        },
+        "transformer": {"layers": layers},
+        "downsample_w": rnd((2 * cfg.downsample_stride, cfg.hidden_size, cfg.hidden_size)),
+        "semantic_proj": rnd((cfg.hidden_size, cfg.codebook_dim)),
+        "semantic_codebooks": rnd((1, cfg.codebook_size, cfg.codebook_dim), 1.0),
+        "acoustic_proj": rnd((cfg.hidden_size, cfg.codebook_dim)),
+        "acoustic_codebooks": rnd(
+            (cfg.num_quantizers - 1, cfg.codebook_size, cfg.codebook_dim), 1.0
+        ),
+    }
+
+
 class Encoder12Hz:
     """Host-facing wrapper: 24 kHz samples -> [T, 16] int32 codes.
 
