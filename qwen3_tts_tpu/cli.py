@@ -67,6 +67,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--streaming", action="store_true",
                    help="Stream chunks; prints TTFA and per-chunk timing")
     p.add_argument("--chunk-frames", type=int, default=10)
+    p.add_argument("--first-chunk-frames", type=int, default=4,
+                   help="Frames in the FIRST streamed chunk (lower = lower "
+                        "TTFA; 0 disables and uses --chunk-frames)")
+    p.add_argument("--no-exact-streaming", action="store_true",
+                   help="Legacy chunk-local vocoder context (reference "
+                        "behavior) instead of the sample-exact carried-state "
+                        "streaming decode")
     p.add_argument("--metadata", action="store_true",
                    help="Write a JSON metadata file next to the WAV")
     p.add_argument("--profile", default=None, metavar="DIR",
@@ -114,6 +121,8 @@ def main(argv: list[str] | None = None) -> int:
         repetition_penalty=args.repetition_penalty,
         min_new_tokens=args.min_new_tokens,
         chunk_frames=args.chunk_frames,
+        first_chunk_frames=args.first_chunk_frames or None,
+        streaming_exact=not args.no_exact_streaming,
         seed=args.seed,
         icl_sequential=args.icl_sequential,
     )

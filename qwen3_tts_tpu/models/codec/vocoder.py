@@ -154,51 +154,123 @@ def decode_jit(params: dict, cfg: VocoderConfig, codes: jnp.ndarray) -> jnp.ndar
 # streamed audio is merely frame-count-identical to batch decode
 # (/root/reference/src/lib.rs streaming; tests/streaming_e2e.rs:150-157).
 # This stack is all-causal, which lets us do better: carrying
-#   * the pre_conv left context (2 latent-input rows),
+#   * per-conv left-context rows (exactly each conv's causal pad width —
+#     carried zeros at cold start coincide with the batch path's zero
+#     left-padding, so the very first chunk is already exact),
 #   * a KV cache for the causal pre-transformer (full attention history),
-#   * the last MARGIN latent rows for the bounded-receptive-field conv stack
 # across chunks makes concat(stream chunks) IDENTICAL to the one-shot batch
-# decode.
-#
-# Receptive-field accounting for MARGIN (left context, in 12.5 Hz frames,
-# of the post-transformer conv stack; transconv stride r consumes
-# floor(L/r)+1, causal conv k,d consumes L+(k-1)d):
-#   final conv k7: 6 @24k -> block4 res (6+18+54): 84 @24k -> /3 transconv:
-#   29 @8k -> +78: 107 -> /4: 27 @2k -> +78: 105 -> /5: 22 @400 -> +78:
-#   100 -> /8: 13 @50 -> init k7: 19 -> convnext k7: 25 -> /2: 13 @25 ->
-#   convnext: 19 -> /2: 10 frames.
-MARGIN = 12  # > 10-frame exact receptive field (safety slack)
+# decode, at per-chunk cost equal to chunk-local decode (no margin
+# recompute).
+
+
+def _conv_ctx_rows(k: int, dilation: int = 1) -> int:
+    return dilation * (k - 1)
+
+
+def _tconv_ctx_rows(k: int, stride: int) -> int:
+    # Polyphase taps m = 0..ceil(k/s)-1: output u consumes inputs u-m.
+    return -(-k // stride) - 1
 
 
 class VocoderStreamState(NamedTuple):
     """Carried vocoder state for sample-exact chunked decode.
 
-    q_hist:      [B, 2, codebook_dim] pre_conv (k3) left context.
-    kv_k, kv_v:  [L, B, maxT, H, D] pre-transformer KV cache.
-    latent_hist: [B, MARGIN, latent_dim] conv-stack left context
-                 (right-aligned; zeros while pos < MARGIN).
-    pos:         [] int32 frames decoded so far.
+    kv_k, kv_v: [L, B, maxT, H, D] pre-transformer KV cache.
+    conv:       nested dict of per-conv left-context rows (each entry is
+                the last ``ctx`` input rows seen by that conv, at its own
+                time resolution).
+    pos:        [] int32 frames decoded so far.
     """
 
-    q_hist: jnp.ndarray
     kv_k: jnp.ndarray
     kv_v: jnp.ndarray
-    latent_hist: jnp.ndarray
+    conv: dict
     pos: jnp.ndarray
 
 
 def init_stream_state(
     cfg: VocoderConfig, max_frames: int, batch: int = 1
 ) -> VocoderStreamState:
-    hd = cfg.num_heads * cfg.head_dim
     kv_shape = (cfg.num_layers, batch, max_frames, cfg.num_heads, cfg.head_dim)
+
+    def rows(n, ch):
+        return jnp.zeros((batch, n, ch), jnp.float32)
+
+    conv: dict = {
+        "pre_conv": rows(_conv_ctx_rows(3), cfg.codebook_dim),
+        "upsample": [],
+        "init_conv": rows(_conv_ctx_rows(7), cfg.latent_dim),
+        "blocks": [],
+    }
+    for ratio in cfg.upsampling_ratios:
+        conv["upsample"].append(
+            {
+                "up": rows(_tconv_ctx_rows(2 * ratio, ratio), cfg.latent_dim),
+                "dw": rows(_conv_ctx_rows(7), cfg.latent_dim),
+            }
+        )
+    ch = cfg.decoder_dim
+    for rate in cfg.upsample_rates:
+        out_ch = ch // 2
+        conv["blocks"].append(
+            {
+                "up": rows(_tconv_ctx_rows(2 * rate, rate), ch),
+                "res1": rows(_conv_ctx_rows(7, 1), out_ch),
+                "res2": rows(_conv_ctx_rows(7, 3), out_ch),
+                "res3": rows(_conv_ctx_rows(7, 9), out_ch),
+            }
+        )
+        ch = out_ch
+    conv["final"] = rows(_conv_ctx_rows(cfg.final_kernel), ch)
     return VocoderStreamState(
-        q_hist=jnp.zeros((batch, 2, cfg.codebook_dim), jnp.float32),
         kv_k=jnp.zeros(kv_shape, jnp.float32),
         kv_v=jnp.zeros(kv_shape, jnp.float32),
-        latent_hist=jnp.zeros((batch, MARGIN, cfg.latent_dim), jnp.float32),
+        conv=conv,
         pos=jnp.int32(0),
     )
+
+
+def _conv_stream(x, state, kernel, bias, dilation: int = 1, groups: int = 1):
+    """Streaming causal conv: prepend the carried ``ctx = d*(k-1)`` input
+    rows, convolve, return (this chunk's outputs, new carry). Identical math
+    to the batch ``causal_conv1d`` rows [pos, pos+T): carried zeros at cold
+    start equal the batch path's zero left-padding."""
+    ctx = state.shape[1]
+    if ctx == 0:
+        return blocks.causal_conv1d(x, kernel, bias, dilation, groups), state
+    x_ext = jnp.concatenate([state, x], axis=1)
+    out = blocks.causal_conv1d(x_ext, kernel, bias, dilation, groups)[:, ctx:, :]
+    return out, x_ext[:, -ctx:, :]
+
+
+def _tconv_stream(x, state, kernel, bias, stride: int):
+    """Streaming causal transposed conv (polyphase): output row u*stride+r
+    consumes inputs u-m, m < ceil(k/s); carrying those rows makes the kept
+    chunk outputs identical to the batch computation."""
+    ctx = state.shape[1]
+    if ctx == 0:
+        return blocks.causal_trans_conv1d(x, kernel, bias, stride), state
+    x_ext = jnp.concatenate([state, x], axis=1)
+    out = blocks.causal_trans_conv1d(x_ext, kernel, bias, stride)[:, ctx * stride :, :]
+    return out, x_ext[:, -ctx:, :]
+
+
+def _convnext_stream(x, dw_state, p):
+    dim = x.shape[-1]
+    h, new_dw = _conv_stream(x, dw_state, p["dwconv_w"], p["dwconv_b"], groups=dim)
+    h = blocks.layer_norm(h, p["norm_w"], p["norm_b"])
+    h = h @ p["pwconv1_w"] + p["pwconv1_b"]
+    h = jax.nn.gelu(h, approximate=False)
+    h = h @ p["pwconv2_w"] + p["pwconv2_b"]
+    return x + h * p["gamma"], new_dw
+
+
+def _residual_unit_stream(x, st, p, dilation: int):
+    h = blocks.snake_beta(x, p["act1_alpha"], p["act1_beta"])
+    h, new_st = _conv_stream(h, st, p["conv1_w"], p["conv1_b"], dilation=dilation)
+    h = blocks.snake_beta(h, p["act2_alpha"], p["act2_beta"])
+    h = blocks.causal_conv1d(h, p["conv2_w"], p["conv2_b"])  # k=1: no context
+    return x + h, new_st
 
 
 def _pre_transformer_cached(
@@ -249,47 +321,6 @@ def _pre_transformer_cached(
     return h, kv_k, kv_v
 
 
-def _mask_before(h: jnp.ndarray, t0: jnp.ndarray) -> jnp.ndarray:
-    """Zero rows with time index < t0 (broadcast over batch/channels)."""
-    idx = jnp.arange(h.shape[1], dtype=jnp.int32)
-    return jnp.where((idx >= t0)[None, :, None], h, jnp.zeros((), h.dtype))
-
-
-def _masked_conv_stack(
-    params: dict, cfg: VocoderConfig, lat: jnp.ndarray, valid_from: jnp.ndarray
-) -> jnp.ndarray:
-    """Post-transformer conv stack over a latent window [B, W, latent_dim]
-    whose first ``valid_from`` rows are placeholders.
-
-    Re-zeroing the placeholder region after every position-mixing op makes
-    those rows behave EXACTLY like the causal zero left-padding of the true
-    from-the-start computation (biases / layer-norm / snake would otherwise
-    leak nonzero values into them). For valid_from == 0 the masks are
-    no-ops and the math is identical to ``_decode_impl``'s tail.
-    """
-    h = _mask_before(lat, valid_from)
-    cum = 1
-    for stage, ratio in zip(params["upsample"], cfg.upsampling_ratios):
-        h = blocks.causal_trans_conv1d(h, stage["up_w"], stage["up_b"], ratio)
-        cum *= ratio
-        h = _mask_before(h, valid_from * cum)
-        h = blocks.convnext_block(h, stage["convnext"])
-        h = _mask_before(h, valid_from * cum)
-    h = blocks.causal_conv1d(h, params["init_conv_w"], params["init_conv_b"])
-    h = _mask_before(h, valid_from * cum)
-    for block, rate in zip(params["decoder_blocks"], cfg.upsample_rates):
-        h = blocks.snake_beta(h, block["snake_alpha"], block["snake_beta"])
-        h = blocks.causal_trans_conv1d(h, block["up_w"], block["up_b"], rate)
-        cum *= rate
-        h = _mask_before(h, valid_from * cum)
-        for key, dil in (("res1", 1), ("res2", 3), ("res3", 9)):
-            h = blocks.residual_unit(h, block[key], dil)
-            h = _mask_before(h, valid_from * cum)
-    h = blocks.snake_beta(h, params["final_snake_alpha"], params["final_snake_beta"])
-    h = blocks.causal_conv1d(h, params["final_conv_w"], params["final_conv_b"])
-    return jnp.clip(h[..., 0], -1.0, 1.0)
-
-
 def decode_stream_chunk(
     params: dict,
     cfg: VocoderConfig,
@@ -298,9 +329,10 @@ def decode_stream_chunk(
 ) -> tuple[jnp.ndarray, VocoderStreamState]:
     """Decode the next chunk of frames, carrying exact causal context.
 
-    Returns ([B, S * total_upsample] f32 audio, updated state). The audio is
-    bit-identical to the corresponding slice of the one-shot batch
-    ``decode`` of all frames fed so far (see tests/test_vocoder.py).
+    Returns ([B, S * total_upsample] f32 audio, updated state). The audio
+    equals the corresponding slice of the one-shot batch ``decode`` of all
+    frames fed so far (up to matmul-tiling ulps; see tests/test_vocoder.py),
+    at per-chunk cost equal to chunk-local decode.
     """
     with jax.default_matmul_precision("highest"):
         return _decode_stream_chunk_impl(params, cfg, state, codes)
@@ -308,34 +340,49 @@ def decode_stream_chunk(
 
 def _decode_stream_chunk_impl(params, cfg, state, codes):
     s = codes.shape[-1]
+    cs = state.conv
+    new_cs = {"upsample": [], "blocks": []}
     q = rvq_deembed(params, cfg, codes.astype(jnp.int32)).astype(jnp.float32)
 
-    # pre_conv (causal k3) with carried left context: prepend the previous 2
-    # rows, run the conv over S+2 rows, keep the last S (their computation is
-    # then identical to the batch conv's rows pos..pos+S; for pos < 2 the
-    # carried rows are still zero == true left padding).
-    q_ext = jnp.concatenate([state.q_hist, q], axis=1)  # [B, S+2, 512]
-    h_ext = blocks.causal_conv1d(q_ext, params["pre_conv_w"], params["pre_conv_b"])
-    h = h_ext[:, 2:, :]
+    h, new_cs["pre_conv"] = _conv_stream(
+        q, cs["pre_conv"], params["pre_conv_w"], params["pre_conv_b"]
+    )
     h = h @ params["input_proj_w"] + params["input_proj_b"]
 
     h, kv_k, kv_v = _pre_transformer_cached(
         params, cfg, h, state.kv_k, state.kv_v, state.pos
     )
     h = tnn.rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
-    lat = h @ params["output_proj_w"] + params["output_proj_b"]  # [B, S, latent]
+    h = h @ params["output_proj_w"] + params["output_proj_b"]  # [B, S, latent]
 
-    window = jnp.concatenate([state.latent_hist, lat], axis=1)  # [B, M+S, latent]
-    valid_from = jnp.maximum(jnp.int32(MARGIN) - state.pos, 0)
-    wav = _masked_conv_stack(params, cfg, window, valid_from)
-    wav = wav[:, MARGIN * cfg.total_upsample :]  # keep the chunk's samples
+    for stage, st, ratio in zip(
+        params["upsample"], cs["upsample"], cfg.upsampling_ratios
+    ):
+        h, new_up = _tconv_stream(h, st["up"], stage["up_w"], stage["up_b"], ratio)
+        h, new_dw = _convnext_stream(h, st["dw"], stage["convnext"])
+        new_cs["upsample"].append({"up": new_up, "dw": new_dw})
+
+    h, new_cs["init_conv"] = _conv_stream(
+        h, cs["init_conv"], params["init_conv_w"], params["init_conv_b"]
+    )
+    for block, st, rate in zip(
+        params["decoder_blocks"], cs["blocks"], cfg.upsample_rates
+    ):
+        hb = blocks.snake_beta(h, block["snake_alpha"], block["snake_beta"])
+        h, new_up = _tconv_stream(hb, st["up"], block["up_w"], block["up_b"], rate)
+        new_blk = {"up": new_up}
+        for key, dil in (("res1", 1), ("res2", 3), ("res3", 9)):
+            h, new_blk[key] = _residual_unit_stream(h, st[key], block[key], dil)
+        new_cs["blocks"].append(new_blk)
+
+    h = blocks.snake_beta(h, params["final_snake_alpha"], params["final_snake_beta"])
+    h, new_cs["final"] = _conv_stream(
+        h, cs["final"], params["final_conv_w"], params["final_conv_b"]
+    )
+    wav = jnp.clip(h[..., 0], -1.0, 1.0)
 
     new_state = VocoderStreamState(
-        q_hist=q_ext[:, -2:, :],
-        kv_k=kv_k,
-        kv_v=kv_v,
-        latent_hist=window[:, -MARGIN:, :],
-        pos=state.pos + s,
+        kv_k=kv_k, kv_v=kv_v, conv=new_cs, pos=state.pos + s
     )
     return wav, new_state
 

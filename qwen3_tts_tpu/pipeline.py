@@ -74,6 +74,12 @@ class SynthesisOptions:
     repetition_penalty: float = 1.05
     eos_token_id: int = T.CODEC_EOS
     chunk_frames: int = 10
+    # Streaming: generate only this many frames before emitting the FIRST
+    # chunk (then fall back to chunk_frames). 4 frames = 320 ms of audio
+    # yet only ~4 frame-times of latency, cutting TTFA by ~6 frame-times vs
+    # chunk_frames=10 with no underrun risk (steady-state generation is
+    # ~10-25x faster than realtime). None = use chunk_frames.
+    first_chunk_frames: int | None = 4
     min_new_tokens: int = 2
     seed: int | None = None
     # ICL prompt layout: False = element-wise overlay (official Python
@@ -245,6 +251,7 @@ class Qwen3TTS:
         New design beyond the reference, which is strictly single-device
         (src/lib.rs:169-172, SURVEY §2.3). Returns self.
         """
+        from .ops import quant as Q
         from .parallel import sharding as S
 
         for tree in (self.talker_params, self.cp_params):
@@ -253,6 +260,15 @@ class Qwen3TTS:
                     "shard(): dropping single-chip stream pack; multi-chip "
                     "uses the GSPMD layer-scan path."
                 )
+        if Q.is_quantized(self.talker_params.get("codec_head")) or Q.is_quantized(
+            self.cp_params["layers"].get("qkv_proj")
+        ):
+            # GSPMD cannot partition the Pallas dequant matmul; the
+            # dequant-then-dot fallback shards cleanly with the weight specs.
+            # (Process-global switch: mixing sharded-int8 and single-chip-int8
+            # models in one process would lose the kernel for the latter.)
+            Q.set_pallas_enabled(False)
+            logger.info("shard(): int8 model — using the shardable dequant path.")
         self.talker_params = S.shard_pytree(
             self.talker_params,
             S.talker_specs(self.config.talker, self.talker_params),
@@ -1210,6 +1226,8 @@ class StreamingSession:
         if self._exhausted:
             return None
         chunk = max(self.options.chunk_frames, 1)
+        if self.frames_emitted == 0 and self.options.first_chunk_frames:
+            chunk = max(min(self.options.first_chunk_frames, chunk), 1)
         if self.options.streaming_exact:
             return self._next_chunk_exact(chunk)
         return self._next_chunk_legacy(chunk)
