@@ -646,23 +646,7 @@ class Qwen3TTS:
     def synthesize(self, text: str, options: SynthesisOptions | None = None) -> AudioBuffer:
         return self.synthesize_with_voice(text, "ryan", "english", options)
 
-    def synthesize_with_voice(
-        self,
-        text: str,
-        speaker: str = "ryan",
-        language: str = "english",
-        options: SynthesisOptions | None = None,
-    ) -> AudioBuffer:
-        audio, _ = self.synthesize_with_timing(text, speaker, language, options)
-        return audio
-
-    def synthesize_with_timing(
-        self,
-        text: str,
-        speaker: str = "ryan",
-        language: str = "english",
-        options: SynthesisOptions | None = None,
-    ) -> tuple[AudioBuffer, SynthesisTiming]:
+    def _warn_preset_speaker(self, speaker: str) -> None:
         # Variant-mismatch warnings (src/lib.rs:728-741)
         if self.config.model_type == ModelType.BASE:
             logger.warning(
@@ -677,6 +661,32 @@ class Qwen3TTS:
                 "synthesize_voice_design() for text-described voices.",
                 speaker,
             )
+
+    def synthesize_with_voice(
+        self,
+        text: str,
+        speaker: str = "ryan",
+        language: str = "english",
+        options: SynthesisOptions | None = None,
+    ) -> AudioBuffer:
+        """Non-streaming synthesis via the pipelined fused chunk programs
+        (StreamingSession.run_to_audio) — no intermediate host syncs, so the
+        device chains prefill → generate → decode without idling on round
+        trips. Use synthesize_with_timing for the staged per-phase breakdown
+        (it syncs at stage boundaries to attribute time)."""
+        self._warn_preset_speaker(speaker)
+        options = options or SynthesisOptions()
+        session = self._custom_voice_session(text, speaker, language, options)
+        return session.run_to_audio()
+
+    def synthesize_with_timing(
+        self,
+        text: str,
+        speaker: str = "ryan",
+        language: str = "english",
+        options: SynthesisOptions | None = None,
+    ) -> tuple[AudioBuffer, SynthesisTiming]:
+        self._warn_preset_speaker(speaker)
         options = options or SynthesisOptions()
         t0 = time.perf_counter()
         session = self._custom_voice_session(text, speaker, language, options)
@@ -837,7 +847,7 @@ class Qwen3TTS:
             )
         options = options or SynthesisOptions()
         session = self._voice_design_session(text, instruct, language, options)
-        return self.decode_codes(session.run_to_completion())
+        return session.run_to_audio()
 
     def synthesize_voice_design_streaming(
         self,
@@ -917,8 +927,18 @@ class Qwen3TTS:
         language: str = "english",
         options: SynthesisOptions | None = None,
     ) -> AudioBuffer:
-        audio, _ = self.synthesize_voice_clone_debug(text, prompt, language, options)
-        return audio
+        """Non-streaming cloning via the pipelined chunk programs. In ICL
+        mode the reference codes advance the vocoder state as un-emitted
+        context, which equals the batch path's prepend-and-proportional-cut
+        exactly: the cut is ref_len * total_samples / total_frames =
+        ref_len * 1920 samples, i.e. precisely the prefix's samples
+        (src/lib.rs:1022-1044). Use synthesize_voice_clone_debug for the
+        staged path that also returns the raw frames."""
+        options = options or SynthesisOptions()
+        session, ref_len = self._voice_clone_session(text, prompt, language, options)
+        if ref_len > 0 and prompt.ref_codes is not None:
+            session.prefix_codes = np.asarray(prompt.ref_codes, np.int32)
+        return session.run_to_audio()
 
     def synthesize_voice_clone_streaming(
         self,
@@ -1213,6 +1233,120 @@ class StreamingSession:
         self._exhausted = True
         return np.asarray(frames[:n])
 
+    def _dispatch_chunk_exact(self, target: int, emitted: int, chunk: int):
+        """Dispatch one fused advance+decode program (no host read)."""
+        self.state, self.vstate, wav_dev, n_dev, done_dev = (
+            _advance_and_decode_chunk_exact(
+                self.model.talker_params,
+                self.model.cp_params,
+                self.model.vocoder_params,
+                self.model.config.talker,
+                self.model.config.code_predictor,
+                self.scfg,
+                self.model.vocoder_config,
+                self.state,
+                self.vstate,
+                self.trailing,
+                self.trailing_len,
+                self.pad_embed,
+                self.uniforms,
+                jnp.int32(target),
+                jnp.int32(emitted),
+                chunk,
+            )
+        )
+        return wav_dev, n_dev, done_dev
+
+    def run_to_audio(self) -> AudioBuffer:
+        """Non-streaming synthesis as pipelined fused chunk programs.
+
+        The dominant cost of the staged path (advance-to-completion, fetch
+        frames, dispatch decode, fetch audio) on remote-attached TPUs is
+        per-dispatch latency, not device time (~3.4 ms device prefill vs
+        ~20 ms/dispatch measured through the tunnel). Here each fused
+        advance+decode program is dispatched BEFORE the previous chunk's
+        results are read — programs chain device-side through the donated
+        carry, so the device never idles on a host round trip and the audio
+        fetch of chunk k overlaps chunk k+1's execution. EOS is handled
+        speculatively: a program dispatched past EOS no-ops its while_loop
+        (state.done short-circuits) and its audio is discarded.
+
+        Uses the sample-exact streaming vocoder, so output equals
+        decode_codes(frames) up to matmul-tiling ulps (~1e-7 relative; see
+        models/codec/vocoder.py). The reference has no such pipelined mode —
+        its generate loop and decode are strictly serial (src/lib.rs:718-890).
+        """
+        if not self.options.streaming_exact or self._exhausted:
+            frames = self.run_to_completion()
+            prefix = self.prefix_codes
+            if prefix is not None and len(prefix) and len(frames):
+                # ICL prepend-and-proportional-cut (src/lib.rs:1022-1044) —
+                # the streaming_exact path gets this via _feed_prefix instead.
+                combined = np.concatenate(
+                    [np.asarray(prefix, np.int32), frames], axis=0
+                )
+                audio = self.model.decode_codes(combined)
+                cut = len(prefix) * len(audio) // max(len(combined), 1)
+                return AudioBuffer(
+                    audio.samples[min(cut, len(audio)):], audio.sample_rate
+                )
+            return self.model.decode_codes(frames)
+        chunk = DECODE_BUCKET
+        max_len = self.options.max_length
+        if self.frames_emitted == 0:
+            prefix = (
+                self.prefix_codes
+                if self.prefix_codes is not None and len(self.prefix_codes)
+                else None
+            )
+            self._ensure_vstate(len(prefix) if prefix is not None else 0)
+            if prefix is not None:
+                self._feed_prefix(np.asarray(prefix, np.int32), chunk)
+        parts: list[np.ndarray] = []
+        pending: list[tuple[int, object, object, object]] = []
+        spec = self.frames_emitted  # dispatch frontier (frames)
+        total: int | None = None  # true frame count once EOS/limit observed
+
+        def drain_one() -> None:
+            nonlocal total
+            e0, w, nd, dd = pending.pop(0)
+            if total is not None and e0 >= total:
+                return  # speculative program past EOS — discard
+            wav, n, done = jax.device_get((w, nd, dd))
+            n, done = int(n), bool(done)
+            emitted_here = min(n, e0 + chunk) - e0
+            if emitted_here > 0:
+                parts.append(
+                    np.asarray(wav[0][: emitted_here * T.SAMPLES_PER_FRAME])
+                )
+            if done or n >= max_len:
+                total = n if total is None else min(total, n)
+
+        while spec < max_len and total is None:
+            target = min(spec + chunk, max_len)
+            while self.state.frames.shape[0] < target:
+                cap = self.state.frames.shape[0]
+                new_cap = min(
+                    next_bucket(cap + 1, buckets=FRAME_BUCKETS),
+                    next_bucket(max_len, buckets=FRAME_BUCKETS),
+                )
+                if new_cap <= cap:
+                    break
+                self._grow(new_cap)
+            pending.append((spec, *self._dispatch_chunk_exact(target, spec, chunk)))
+            spec = target
+            # Keep exactly one program in flight ahead of the read frontier.
+            while len(pending) > 1:
+                drain_one()
+        while pending:
+            drain_one()
+        self.frames_emitted = total if total is not None else spec
+        self._exhausted = True
+        samples = (
+            np.concatenate(parts) if parts else np.zeros(0, np.float32)
+        )
+        return AudioBuffer(samples, T.OUTPUT_SAMPLE_RATE)
+
     def next_chunk(self) -> AudioBuffer | None:
         """Generate + decode the next ~chunk_frames frames, or None when done.
 
@@ -1256,23 +1390,8 @@ class StreamingSession:
             self._ensure_vstate(len(prefix) if prefix is not None else 0)
             if prefix is not None:
                 self._feed_prefix(np.asarray(prefix, np.int32), chunk)
-        self.state, self.vstate, wav_dev, n_dev, done_dev = _advance_and_decode_chunk_exact(
-            self.model.talker_params,
-            self.model.cp_params,
-            self.model.vocoder_params,
-            self.model.config.talker,
-            self.model.config.code_predictor,
-            self.scfg,
-            self.model.vocoder_config,
-            self.state,
-            self.vstate,
-            self.trailing,
-            self.trailing_len,
-            self.pad_embed,
-            self.uniforms,
-            jnp.int32(target),
-            jnp.int32(self.frames_emitted),
-            chunk,
+        wav_dev, n_dev, done_dev = self._dispatch_chunk_exact(
+            target, self.frames_emitted, chunk
         )
         wav, n, done = jax.device_get((wav_dev, n_dev, done_dev))
         n, done = int(n), bool(done)

@@ -10,6 +10,19 @@ import os
 import sys
 from pathlib import Path
 
+# The full suite compiles hundreds of XLA:CPU programs; their JIT code pages
+# and allocator arenas are anonymous mmaps that live for the whole process,
+# and the run crosses the kernel's default vm.max_map_count (65530) late in
+# the suite — the persistent-cache executable deserializer then segfaults on
+# a failed mmap. Raise the limit best-effort (works when running as root;
+# silently skipped otherwise).
+try:
+    _MAP_LIMIT = Path("/proc/sys/vm/max_map_count")
+    if int(_MAP_LIMIT.read_text()) < 262144:
+        _MAP_LIMIT.write_text("262144")
+except (OSError, ValueError):
+    pass
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

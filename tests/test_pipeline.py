@@ -352,3 +352,75 @@ def test_streaming_legacy_mode_still_available(model):
         "legacy stream", "ryan", "english", SynthesisOptions(max_length=8, seed=42)
     )
     assert sum(len(c) for c in chunks) == timing.generation_frames * T.SAMPLES_PER_FRAME
+
+
+def test_run_to_audio_matches_staged(model):
+    """synthesize_with_voice routes through the pipelined run_to_audio path;
+    it must match the staged decode_codes(run_to_completion()) path up to
+    matmul-tiling ulps (the sample-exact vocoder contract)."""
+    opts = SynthesisOptions(max_length=8, seed=42)
+    audio = model.synthesize_with_voice("pipelined", "ryan", "english", opts)
+    session = model._custom_voice_session(
+        "pipelined", "ryan", "english", SynthesisOptions(max_length=8, seed=42)
+    )
+    frames = session.run_to_completion()
+    batch = model.decode_codes(frames)
+    assert len(audio) == len(batch.samples)
+    np.testing.assert_allclose(audio.samples, batch.samples, rtol=0, atol=2e-6)
+
+
+def test_run_to_audio_multi_chunk_growth(model):
+    """Pipelined path across several chunk programs and a buffer-growth tier
+    boundary (speculative dispatch + drain ordering)."""
+    import qwen3_tts_tpu.pipeline as P
+
+    old = (P.FRAME_BUCKETS, P.GROWTH_INITIAL_FRAMES, P.DECODE_BUCKET)
+    P.FRAME_BUCKETS, P.GROWTH_INITIAL_FRAMES, P.DECODE_BUCKET = (4, 8, 16), 4, 4
+    try:
+        opts = SynthesisOptions(max_length=10, seed=11)
+        audio = model.synthesize_with_voice("pipelined growth", "ryan", "english", opts)
+        session = model._custom_voice_session(
+            "pipelined growth", "ryan", "english",
+            SynthesisOptions(max_length=10, seed=11),
+        )
+        frames = session.run_to_completion()
+        batch = model.decode_codes(frames)
+        assert len(audio) == len(batch.samples)
+        np.testing.assert_allclose(audio.samples, batch.samples, rtol=0, atol=2e-6)
+    finally:
+        P.FRAME_BUCKETS, P.GROWTH_INITIAL_FRAMES, P.DECODE_BUCKET = old
+
+
+def _icl_prompt(n_ref=7, seed=9):
+    rs = np.random.RandomState(seed)
+    return VoiceClonePrompt(
+        speaker_embedding=rs.randn(64).astype(np.float32),
+        ref_codes=rs.randint(0, 128, size=(n_ref, 16)).astype(np.int32),
+        ref_text_ids=[7, 9],
+    )
+
+
+def test_run_to_audio_voice_clone_icl(model):
+    """Non-streaming clone via the pipelined path equals the staged debug
+    path (prepend-and-proportional-cut) up to vocoder ulps."""
+    prompt = _icl_prompt()
+    opts = SynthesisOptions(max_length=8, seed=42)
+    audio = model.synthesize_voice_clone("clone pipelined", prompt, "english", opts)
+    ref, _frames = model.synthesize_voice_clone_debug(
+        "clone pipelined", prompt, "english", SynthesisOptions(max_length=8, seed=42)
+    )
+    assert len(audio) == len(ref)
+    np.testing.assert_allclose(audio.samples, ref.samples, rtol=0, atol=2e-6)
+
+
+def test_run_to_audio_fallback_prefix_cut(model):
+    """streaming_exact=False falls back to the staged path; for ICL clones it
+    must still apply the prepend-and-proportional-cut (bit-equal to debug)."""
+    prompt = _icl_prompt()
+    opts = SynthesisOptions(max_length=8, seed=42, streaming_exact=False)
+    audio = model.synthesize_voice_clone("clone fallback", prompt, "english", opts)
+    ref, _frames = model.synthesize_voice_clone_debug(
+        "clone fallback", prompt, "english",
+        SynthesisOptions(max_length=8, seed=42, streaming_exact=False),
+    )
+    np.testing.assert_array_equal(audio.samples, ref.samples)
