@@ -25,9 +25,19 @@ except (OSError, ValueError):
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# 8 virtual devices timeshare the host's cores; on small hosts (CI runners
+# can be 1-core) a straggler rank can exceed XLA:CPU's default collective
+# rendezvous timeouts, which CHECK-abort the process ("Termination timeout
+# ... Exiting to ensure a consistent program state"). The mesh tests are
+# slow there, not deadlocked — give them generous timeouts.
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1800"
+        " --xla_cpu_collective_timeout_seconds=1800"
+    )
+os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
