@@ -1,0 +1,203 @@
+"""Per-frame component decomposition for the int8 frame loop.
+
+Times, each as ONE jitted program with an internal data-chained fori_loop
+(so per-iteration dispatch is excluded and XLA cannot overlap iterations):
+
+  * talker   — talker.decode_step alone (stream kernel on int8+TPU),
+  * cp       — code_predictor.predict_acoustic_codes alone,
+  * sampling — penalties + sample + penalty-mask update alone,
+  * embed    — semantic embed + acoustic embedding sum + trailing select,
+  * full     — the production generate_frames while_loop.
+
+glue = full - (talker + cp + sampling + embed) is the serialization /
+bookkeeping cost the kernels don't own. Reference for the exercise:
+the reference counts per-frame kernel launches the same way
+(scripts/count-kernels.sh + benches/generation_bench.rs).
+
+Run: python benches/frame_decompose.py [--size 1.7B] [--frames 200]
+     [--cache-rows 274] [--no-int8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default="1.7B", choices=["0.6B", "1.7B"])
+    ap.add_argument("--frames", type=int, default=200)
+    # 288 = pipeline._new_cache(10, 256) rounded to the 16-row sublane tile.
+    ap.add_argument("--cache-rows", type=int, default=288)
+    ap.add_argument("--no-int8", action="store_true")
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.models.config import config_for_variant
+    from qwen3_tts_tpu.pipeline import Qwen3TTS
+    from qwen3_tts_tpu.models import code_predictor as cp
+    from qwen3_tts_tpu.models import talker
+    from qwen3_tts_tpu.generation import core
+    from qwen3_tts_tpu.ops import nn, sampling
+
+    cfg = config_for_variant(args.size, "custom_voice")
+    model = Qwen3TTS.from_random(cfg)
+    if not args.no_int8:
+        model = Qwen3TTS(
+            model.config, model.talker_params, model.cp_params,
+            model.vocoder_params, model.tokenizer,
+            vocoder_config=model.vocoder_config, quantize_int8=True,
+        )
+    tcfg = cfg.talker
+    cpcfg = cfg.code_predictor
+    tp, cpp = model.talker_params, model.cp_params
+    hidden = tcfg.hidden_size
+    rows = args.cache_rows
+    n = args.frames
+    dev = jax.devices()[0]
+    print(f"device: {dev}  int8: {not args.no_int8}  cache_rows: {rows}  frames: {n}")
+
+    results = {}
+
+    def note(msg):
+        print(msg, flush=True)
+
+    # --- talker decode step, chained on hidden + carried cache ---
+    note("compiling talker loop...")
+    @jax.jit
+    def talker_loop(x0, cache):
+        def body(i, carry):
+            x, cache = carry
+            h, logits, cache = talker.decode_step(tp, tcfg, x, jnp.int32(10) + i, cache)
+            # chain: next input depends on this step's output + logits
+            x = h + logits[0, 0] * 1e-9
+            return (x, cache)
+        return jax.lax.fori_loop(0, n, body, (x0, cache))
+
+    x0 = jnp.zeros((1, 1, hidden), jnp.bfloat16) + 0.01
+    cache0 = nn.init_kv_cache(tcfg.layer_stack(), 1, rows, jnp.bfloat16)
+    out = talker_loop(x0, cache0)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    jax.block_until_ready(talker_loop(x0, cache0))
+    results["talker_ms"] = (time.perf_counter() - t0) * 1e3 / n
+
+    # --- CP frame, chained on hidden perturbation from codes ---
+    note("compiling cp loop...")
+    cp_slices = cp.scan_slices(cpp, cpcfg) if cpcfg.decode_mode != "jacobi" else None
+
+    @jax.jit
+    def cp_loop(h0, s0):
+        def body(i, carry):
+            h, s = carry
+            codes = cp.predict_acoustic_codes(cpp, cpcfg, h, s, cp_slices)
+            asum = cp.acoustic_embedding_sum(cpp, codes)
+            return (h + asum.astype(h.dtype) * 1e-9, s)
+        return jax.lax.fori_loop(0, n, body, (h0, s0))
+
+    h0 = jnp.zeros((1, 1, hidden), jnp.bfloat16) + 0.01
+    s0 = jnp.zeros((1, 1, hidden), jnp.bfloat16) + 0.02
+    jax.block_until_ready(cp_loop(h0, s0))
+    t0 = time.perf_counter()
+    jax.block_until_ready(cp_loop(h0, s0))
+    results["cp_ms"] = (time.perf_counter() - t0) * 1e3 / n
+
+    # --- sampling epilogue (penalties + sample + mask update), chained ---
+    note("compiling sampling loop...")
+    scfg = sampling.SamplingConfig()
+    supp = sampling.build_suppression_mask(tcfg.codec_vocab_size, scfg.eos_token_id)
+    uniforms = jnp.linspace(0.01, 0.99, n)
+
+    @jax.jit
+    def sample_loop(logits0, mask0):
+        def body(i, carry):
+            logits, mask = carry
+            lg = sampling.apply_generation_penalties(logits, mask, supp, scfg, i + 1)
+            tok = sampling.sample(lg, scfg, uniforms[i])[0]
+            mask = mask.at[tok].set(1.0)
+            return (logits + tok * 1e-9, mask)
+        return jax.lax.fori_loop(0, n, body, (logits0, mask0))
+
+    logits0 = jnp.zeros((1, tcfg.codec_vocab_size), jnp.float32) + 0.1
+    mask0 = jnp.zeros((tcfg.codec_vocab_size,), jnp.float32)
+    jax.block_until_ready(sample_loop(logits0, mask0))
+    t0 = time.perf_counter()
+    jax.block_until_ready(sample_loop(logits0, mask0))
+    results["sampling_ms"] = (time.perf_counter() - t0) * 1e3 / n
+
+    # --- embeds: semantic embed + trailing select + frame store ---
+    note("compiling embed loop...")
+    trailing = jnp.zeros((32, hidden), jnp.bfloat16)
+    pad_embed = jnp.zeros((hidden,), jnp.bfloat16)
+    frames0 = jnp.zeros((256, 16), jnp.int32)
+
+    @jax.jit
+    def embed_loop(tok0, frames):
+        def body(i, carry):
+            tok, frames = carry
+            se = talker.embed_codec(tp, tok)[None, None, :]
+            text_add = jnp.where(i < 20, trailing[jnp.minimum(i, 31)], pad_embed)
+            frame = jnp.full((1, 16), tok, jnp.int32)
+            frames = jax.lax.dynamic_update_slice(frames, frame, (i, 0))
+            tok = tok + (se.sum() + text_add.sum()).astype(jnp.int32) * 0
+            return (tok, frames)
+        return jax.lax.fori_loop(0, n, body, (tok0, frames))
+
+    jax.block_until_ready(embed_loop(jnp.int32(5), frames0))
+    t0 = time.perf_counter()
+    jax.block_until_ready(embed_loop(jnp.int32(5), frames0))
+    results["embed_ms"] = (time.perf_counter() - t0) * 1e3 / n
+
+    # --- full production loop ---
+    note("compiling full loop...")
+    max_new = rows - 18
+    state = core.GenState(
+        cache=nn.init_kv_cache(tcfg.layer_stack(), 1, rows, jnp.bfloat16),
+        last_hidden=h0,
+        token=jnp.int32(5),
+        penalty_mask=mask0,
+        frames=jnp.zeros((max_new, 16), jnp.int32),
+        frame_idx=jnp.int32(0),
+        pos=jnp.int32(10),
+        done=jnp.asarray(False),
+    )
+    uni = jnp.linspace(0.01, 0.99, max_new + 1)
+    limit = jnp.int32(min(n, max_new))
+
+    def run_full(st):
+        return core.generate_frames_jit(
+            tp, cpp, tcfg, cpcfg, scfg, st, trailing, jnp.int32(20),
+            pad_embed, uni, limit,
+        )
+
+    st = run_full(state)
+    jax.block_until_ready(st)
+    n_full = int(min(n, max_new))
+    state2 = jax.tree.map(jnp.copy, st)
+    state2 = state2._replace(frame_idx=jnp.int32(0), pos=jnp.int32(10),
+                             done=jnp.asarray(False))
+    t0 = time.perf_counter()
+    jax.block_until_ready(run_full(state2))
+    results["full_ms"] = (time.perf_counter() - t0) * 1e3 / n_full
+
+    known = sum(results[k] for k in ("talker_ms", "cp_ms", "sampling_ms", "embed_ms"))
+    results["glue_ms"] = results["full_ms"] - known
+
+    for k, v in results.items():
+        print(f"{k:<14} {v:8.3f} ms/frame")
+    if args.json:
+        Path(args.json).write_text(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

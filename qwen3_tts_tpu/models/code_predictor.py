@@ -91,7 +91,8 @@ def predict_acoustic_codes(
     x = _maybe_project(params, x)
     positions = jnp.arange(2, dtype=jnp.int32)
     h, cache = nn.run_layer_stack(
-        params["layers"], x, stack_cfg, cache, positions, jnp.int32(0)
+        params["layers"], x, stack_cfg, cache, positions, jnp.int32(0),
+        self_attn_prefill=True,
     )
     h = nn.rms_norm(h, params["norm"], cfg.rms_norm_eps)
 
@@ -142,7 +143,8 @@ def _predict_acoustic_codes_fused(
     x = _maybe_project(params, x)
     positions = jnp.arange(2, dtype=jnp.int32)
     h, cache = nn.run_layer_stack(
-        params["layers"], x, stack_cfg, cache, positions, jnp.int32(0)
+        params["layers"], x, stack_cfg, cache, positions, jnp.int32(0),
+        self_attn_prefill=True,
     )
     h = nn.rms_norm(h, params["norm"], cfg.rms_norm_eps)
     logits0 = quant.mm(h[:, 1:2, :], _head(params["lm_heads"], 0))

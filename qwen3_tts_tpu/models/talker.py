@@ -234,10 +234,12 @@ def forward(
     cache: nn.KVCache,
     positions: jnp.ndarray,
     write_pos: jnp.ndarray,
+    self_attn_prefill: bool = False,
 ) -> tuple[jnp.ndarray, nn.KVCache]:
     """Run the layer stack on embeddings x [1, S, hidden]; returns normed hidden."""
     h, cache = nn.run_layer_stack(
-        params["layers"], x, cfg.layer_stack(), cache, positions, write_pos
+        params["layers"], x, cfg.layer_stack(), cache, positions, write_pos,
+        self_attn_prefill=self_attn_prefill,
     )
     h = nn.rms_norm(h, params["norm"], cfg.rms_norm_eps)
     return h, cache
@@ -264,9 +266,16 @@ def prefill(
     last valid position, updated cache).
     """
     pb = prompt.shape[1]
+    # A prefill at static write_pos 0 starts from a fresh cache, so attention
+    # only needs the prompt's own rows (nn.run_layer_stack self_attn_prefill
+    # fast path) — S x S instead of S x max_seq reads, exact up to f32
+    # summation order.
+    fresh = isinstance(write_pos, int) and write_pos == 0
     write_pos = jnp.asarray(write_pos, jnp.int32)
     positions = write_pos + jnp.arange(pb, dtype=jnp.int32)
-    h, cache = forward(params, cfg, prompt, cache, positions, write_pos)
+    h, cache = forward(
+        params, cfg, prompt, cache, positions, write_pos, self_attn_prefill=fresh
+    )
     last = jax.lax.dynamic_slice_in_dim(h, prefill_len - 1, 1, axis=1)
     logits = codec_logits(params, last)[:, 0, :]
     return last, logits, cache

@@ -299,12 +299,22 @@ def _attention_block(
     cache_v: jnp.ndarray,
     write_pos: jnp.ndarray,
     mask: jnp.ndarray | None,
+    self_only: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """QKV projection + QK-norm + RoPE + cache update + GQA attention.
 
     x: [B, S, hidden]. cache_k/v: [B, max_seq, KV, D]; the S new K/V rows are
     written at ``write_pos`` and attention runs against the full cache with
     ``mask`` hiding unwritten positions.
+
+    ``self_only=True`` (fresh-cache prefill fast path): attention reads only
+    the S freshly projected K/V rows instead of the full ``max_seq`` cache —
+    an S x S problem instead of S x max_seq. Exact when the cache holds no
+    earlier live rows (write_pos == 0 into a fresh cache): the mask already
+    hid every other row, this skips reading them (results agree to f32
+    summation order — the skipped columns were exact softmax zeros, but the
+    narrower reduction rounds ~1 ulp differently). ``mask`` must then be
+    [..., Sq, S].
     """
     b, s, _ = x.shape
     q_dim = cfg.num_heads * cfg.head_dim
@@ -341,7 +351,13 @@ def _attention_block(
     # (decode_attention_flash) measured SLOWER than dense (10.08 vs 9.92
     # ms/frame at the 2048 bucket) because of its sequential block loop;
     # static windows keep the dense read pattern but shrink it.
-    if s == 1 and cfg.decode_tiering and cache_k.shape[1] > 512 and mask is not None:
+    if self_only:
+        # Cast through the cache dtype so the operands match what the
+        # full-cache read path would have attended against.
+        attn = gqa_attention(
+            q, k.astype(cache_k.dtype), v.astype(cache_v.dtype), mask, scale
+        )
+    elif s == 1 and cfg.decode_tiering and cache_k.shape[1] > 512 and mask is not None:
         attn = tiered_decode_attention(q, cache_k, cache_v, mask, scale, write_pos)
     else:
         attn = gqa_attention(q, cache_k, cache_v, mask, scale)
@@ -359,6 +375,7 @@ def decoder_layer(
     cache_v: jnp.ndarray,
     write_pos: jnp.ndarray,
     mask: jnp.ndarray | None,
+    self_only: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Pre-norm decoder layer: RMSNorm -> attn -> +res -> RMSNorm -> MLP -> +res.
 
@@ -376,6 +393,7 @@ def decoder_layer(
         cache_v,
         write_pos,
         mask,
+        self_only=self_only,
     )
     h = x + attn_out
     mlp_out = swiglu_layer(
@@ -439,6 +457,7 @@ def run_layer_stack(
     cache: KVCache,
     positions: jnp.ndarray,
     write_pos: jnp.ndarray,
+    self_attn_prefill: bool = False,
 ) -> tuple[jnp.ndarray, KVCache]:
     """Run all layers via lax.scan against the full pre-allocated cache.
 
@@ -452,6 +471,15 @@ def run_layer_stack(
     frontier overwrites it. A pure causal mask ``key_row <= query_position``
     is therefore exact — no separate valid-length term, and bucketing prompt
     lengths never changes results.
+
+    ``self_attn_prefill=True``: caller guarantees this is a fresh-cache
+    prefill (write_pos == 0, no earlier live rows). Attention then runs over
+    only the S new rows (S x S) instead of the whole ``max_seq`` bucket —
+    identical up to f32 summation order (the bucket rows it skips were all
+    masked to exact softmax zeros), and the attention read shrinks by
+    max_seq/S (~16x for a 128-row prompt in a 2096-row cache). This was the
+    dominant prefill cost on the TTFA path (reference FA2-prefill
+    equivalent: src/models/transformer.rs:289-325).
     """
     max_seq = cache.max_seq
 
@@ -463,14 +491,20 @@ def run_layer_stack(
     else:
         cos, sin = rope_cos_sin(positions.astype(jnp.float32), inv_freq)
 
-    key_pos = jnp.arange(max_seq, dtype=jnp.int32)
-    mask = key_pos[None, :] <= positions[:, None]
-    mask = mask[None, None, None, :, :]  # [B=1, KV=1, G=1, Sq, Sk]
+    if self_attn_prefill:
+        # Keys are the S fresh rows at ``positions``; causal over the prompt.
+        mask = positions[None, :] <= positions[:, None]
+        mask = mask[None, None, None, :, :]  # [B=1, KV=1, G=1, Sq, S]
+    else:
+        key_pos = jnp.arange(max_seq, dtype=jnp.int32)
+        mask = key_pos[None, :] <= positions[:, None]
+        mask = mask[None, None, None, :, :]  # [B=1, KV=1, G=1, Sq, Sk]
 
     def body(h, layer_inputs):
         layer_params, ck, cv = layer_inputs
         h, ck, cv = decoder_layer(
-            layer_params, h, cfg, cos, sin, ck, cv, write_pos, mask
+            layer_params, h, cfg, cos, sin, ck, cv, write_pos, mask,
+            self_only=self_attn_prefill,
         )
         return h, (ck, cv)
 

@@ -136,3 +136,40 @@ def test_decode_matches_prefill_hf_semantics():
     np.testing.assert_allclose(
         np.asarray(h_inc), np.asarray(h_full), atol=2e-5, rtol=1e-4
     )
+
+
+def test_self_attn_prefill_bit_identical():
+    """Fresh-cache prefill via the S x S self-attention fast path matches the
+    full-bucket masked read to f32 summation order (the skipped rows were
+    exact zeros in the softmax, but the narrower reduction rounds
+    differently by ~1 ulp, and later layers' K/V inherit that)."""
+    cfg, model = small_qwen3()
+    layers = port_weights(model)
+    stack_cfg = nn.LayerStackConfig(
+        hidden_size=64, intermediate_size=96, num_layers=2, num_heads=4,
+        num_kv_heads=2, head_dim=16, rms_norm_eps=1e-6, rope_theta=1e6,
+    )
+    rs = np.random.RandomState(2)
+    x = jnp.asarray(rs.randn(1, 12, 64).astype(np.float32) * 0.1)
+    positions = jnp.arange(12, dtype=jnp.int32)
+
+    # Big cache bucket with garbage rows past the prompt: the fast path must
+    # still match because those rows were masked in the slow path anyway.
+    cache_a = nn.init_kv_cache(stack_cfg, 1, 64, jnp.float32)
+    h_a, kv_a = nn.run_layer_stack(
+        layers, x, stack_cfg, cache_a, positions, jnp.int32(0)
+    )
+    cache_b = nn.init_kv_cache(stack_cfg, 1, 64, jnp.float32)
+    h_b, kv_b = nn.run_layer_stack(
+        layers, x, stack_cfg, cache_b, positions, jnp.int32(0),
+        self_attn_prefill=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(h_a), np.asarray(h_b), atol=1e-6, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(kv_a.k), np.asarray(kv_b.k), atol=1e-6, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(kv_a.v), np.asarray(kv_b.v), atol=1e-6, rtol=1e-5
+    )
