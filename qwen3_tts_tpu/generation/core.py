@@ -38,7 +38,8 @@ from ..ops import nn, sampling
 class GenState(NamedTuple):
     """Carried state of the generation while_loop (a donatable pytree)."""
 
-    cache: nn.KVCache  # talker KV cache
+    cache: nn.KVCache  # talker KV cache (inside generate_frames' while_loop
+    # the stream-kernel path carries it as ([L,S,KV*D], [L,S,KV*D]) planes)
     last_hidden: jnp.ndarray  # [1, 1, hidden] normed talker hidden
     token: jnp.ndarray  # [] int32 current semantic token
     penalty_mask: jnp.ndarray  # [codec_vocab] float32
@@ -99,6 +100,20 @@ def generate_frames(
     suppression = sampling.build_suppression_mask(
         state.penalty_mask.shape[0], scfg.eos_token_id
     )
+    # Stream-kernel mode: carry the KV cache as the kernel's [L, S, KV*D]
+    # planes across the WHOLE loop. The 5-D <-> plane reshape then happens
+    # once per loop entry/exit instead of per frame (the per-step reshape
+    # materialized ~0.27 ms/frame of layout copies at 1.7B).
+    plane_mode = talker.stream_plane_mode(talker_params, tcfg, state.cache)
+    if plane_mode:
+        shape5 = state.cache.k.shape
+        layers5, _, seq5, kv5, d5 = shape5
+        state = state._replace(
+            cache=(
+                state.cache.k.reshape(layers5, seq5, kv5 * d5),
+                state.cache.v.reshape(layers5, seq5, kv5 * d5),
+            )
+        )
     max_new = state.frames.shape[0]
     # Never run past the frames buffer: a frame_limit above max_new would
     # clamp dynamic_update_slice writes onto the last row (corrupting it)
@@ -137,9 +152,15 @@ def generate_frames(
         ).astype(semantic_embed.dtype)[None, None, :]
         step_input = semantic_embed + acoustic_sum + text_add
 
-        hidden, logits, cache = talker.decode_step(
-            talker_params, tcfg, step_input, s.pos, s.cache
-        )
+        if plane_mode:
+            hidden, logits, ck, cv = talker.decode_step_planes(
+                talker_params, tcfg, step_input, s.pos, *s.cache
+            )
+            cache = (ck, cv)
+        else:
+            hidden, logits, cache = talker.decode_step(
+                talker_params, tcfg, step_input, s.pos, s.cache
+            )
 
         token_count = s.frame_idx + 1
         logits = sampling.apply_generation_penalties(
@@ -149,21 +170,37 @@ def generate_frames(
         next_token = sampling.sample(logits, scfg, uniform)[0]
         penalty_mask = s.penalty_mask.at[next_token].set(1.0)
 
-        new = GenState(
-            cache=cache,
-            last_hidden=hidden,
-            token=next_token,
-            penalty_mask=penalty_mask,
-            frames=frames,
-            frame_idx=s.frame_idx + 1,
-            pos=s.pos + 1,
-            done=next_token == scfg.eos_token_id,
-        )
         # Under vmap (dp-batched serving) the body runs while ANY instance is
-        # live; freeze instances that already hit EOS so batching is exact.
-        return jax.tree.map(lambda old, upd: jnp.where(s.done, old, upd), s, new)
+        # live; freeze the visible per-lane outputs of instances that already
+        # hit EOS so batching is exact. The KV cache and ``pos`` are exempt
+        # and advance freely for done lanes: their tokens/frames are frozen
+        # above, rows a done lane writes past its live frontier are never
+        # read by anything visible, and ``pos`` stays within the cache bound
+        # (body runs at most frame_limit <= max_new iterations). Selecting
+        # the cache here was 2x ~31 MB of where + copy per frame at 1.7B —
+        # it kept the old cache value live across the select, so XLA could
+        # not alias the in-place kernel cache update into the loop carry
+        # (~0.5 ms/frame of pure data movement in the int8 trace).
+        sel = lambda old, upd: jnp.where(s.done, old, upd)  # noqa: E731
+        return GenState(
+            cache=cache,
+            last_hidden=sel(s.last_hidden, hidden),
+            token=sel(s.token, next_token),
+            penalty_mask=sel(s.penalty_mask, penalty_mask),
+            frames=sel(s.frames, frames),
+            frame_idx=sel(s.frame_idx, s.frame_idx + 1),
+            pos=s.pos + 1,
+            done=s.done | (next_token == scfg.eos_token_id),
+        )
 
-    return jax.lax.while_loop(cond, body, state)
+    final = jax.lax.while_loop(cond, body, state)
+    if plane_mode:
+        final = final._replace(
+            cache=nn.KVCache(
+                final.cache[0].reshape(shape5), final.cache[1].reshape(shape5)
+            )
+        )
+    return final
 
 
 @partial(jax.jit, static_argnames=("tcfg", "scfg", "max_new_tokens"), donate_argnames=("cache",))

@@ -281,6 +281,48 @@ def prefill(
     return last, logits, cache
 
 
+def stream_plane_mode(params: dict, cfg: TalkerConfig, cache: nn.KVCache) -> bool:
+    """True when decode steps will run the streaming Pallas kernel, which
+    takes the cache as [L, S, KV*D] planes (batch-1, manual-DMA kernel).
+
+    Callers that loop decode steps (generation/core.py) should then carry
+    the cache in plane form across the whole loop: reshaping the 63 MB
+    5-D KVCache to planes inside the loop body cost ~0.27 ms/frame of
+    layout copies at 1.7B (xplane trace), paid once per loop when hoisted.
+    """
+    return (
+        params.get("stream_pack") is not None
+        and cache.k.ndim == 5
+        and cache.k.shape[1] == 1
+        and cache.max_seq <= fused_layer.TALKER_STREAM_MAX_SEQ
+    )
+
+
+def decode_step_planes(
+    params: dict,
+    cfg: TalkerConfig,
+    step_embed: jnp.ndarray,
+    pos: jnp.ndarray,
+    ck: jnp.ndarray,  # [L, S, KV*D]
+    cv: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One streamed-kernel generation step on plane-form caches.
+
+    Same math as ``decode_step`` in stream mode, minus the per-step 5-D
+    reshape. Returns (normed hidden, logits, ck, cv).
+    """
+    stack_cfg = cfg.layer_stack()
+    inv_freq = nn.rope_inv_freq(stack_cfg.head_dim, stack_cfg.rope_theta)
+    cos_row, sin_row = nn.rope_cos_sin(pos.astype(jnp.float32)[None], inv_freq)
+    h, ck, cv = fused_layer.streamed_talker_step(
+        params["layers"], params["stream_pack"], step_embed, stack_cfg,
+        ck, cv, pos, cos_row, sin_row,
+    )
+    h = nn.rms_norm(h, params["norm"], cfg.rms_norm_eps)
+    logits = codec_logits(params, h)[:, 0, :]
+    return h, logits, ck, cv
+
+
 def decode_step(
     params: dict,
     cfg: TalkerConfig,
@@ -296,28 +338,16 @@ def decode_step(
     standard XLA layer scan. Returns (normed hidden [1,1,hidden],
     logits [1, codec_vocab], cache).
     """
-    pack = params.get("stream_pack")
     stack_cfg = cfg.layer_stack()
-    if (
-        pack is not None
-        and cache.k.shape[1] == 1  # batch 1 (manual-DMA kernel is unbatched)
-        and cache.max_seq <= fused_layer.TALKER_STREAM_MAX_SEQ
-    ):
+    if stream_plane_mode(params, cfg, cache):
         kvd = stack_cfg.num_kv_heads * stack_cfg.head_dim
         shape5 = cache.k.shape
         ck = cache.k.reshape(stack_cfg.num_layers, cache.max_seq, kvd)
         cv = cache.v.reshape(stack_cfg.num_layers, cache.max_seq, kvd)
-        inv_freq = nn.rope_inv_freq(stack_cfg.head_dim, stack_cfg.rope_theta)
-        cos_row, sin_row = nn.rope_cos_sin(
-            pos.astype(jnp.float32)[None], inv_freq
+        h, logits, ck, cv = decode_step_planes(
+            params, cfg, step_embed, pos, ck, cv
         )
-        h, ck, cv = fused_layer.streamed_talker_step(
-            params["layers"], pack, step_embed, stack_cfg, ck, cv, pos,
-            cos_row, sin_row,
-        )
-        h = nn.rms_norm(h, params["norm"], cfg.rms_norm_eps)
         cache = nn.KVCache(ck.reshape(shape5), cv.reshape(shape5))
-        logits = codec_logits(params, h)[:, 0, :]
         return h, logits, cache
     positions = pos[None].astype(jnp.int32)
     h, cache = forward(params, cfg, step_embed, cache, positions, pos)

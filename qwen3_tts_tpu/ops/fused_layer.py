@@ -690,7 +690,17 @@ def _cp_frame_kernel(
     codes_ref = rest[3]  # out [1, 16] int32
     scratches = list(rest[4:])
     streamed = layers - resident
-    wres = scratches.pop(0)  # [resident, T, H, H]
+    # Resident layer weights live in VMEM as four WIDE slabs (one per
+    # projection) instead of tpl separate [H, H] tiles: each projection is
+    # then ONE MXU dot per step instead of nq/ko/ng/kd tile-dots. The 16
+    # sequential in-frame steps are op-latency-bound, so fewer/wider ops is
+    # the lever (measured 1.04 ms/frame at 1.7B against a 0.09 ms weight
+    # floor before this layout). Same bytes, same K order as quant.mm's
+    # monolithic dequant-dot.
+    wq = scratches.pop(0)  # [resident, H, nq*H]
+    wo = scratches.pop(0)  # [resident, ko*H, H]
+    wg = scratches.pop(0)  # [resident, H, ng*H]
+    wd = scratches.pop(0)  # [resident, kd*H, H]
     wlbuf = scratches.pop(0) if streamed else None  # [NBUF, H, H] ring
     ebuf, hbuf, kbuf, vbuf = scratches[:4]
     scratches = scratches[4:]
@@ -714,8 +724,27 @@ def _cp_frame_kernel(
     # XLA paths are matched at their native precision.
     mdtype = jnp.bfloat16 if quantized else cdtype
 
-    def wdma(l):
-        return pltpu.make_async_copy(tiles_ref.at[l], wres.at[l], wsem.at[l])
+    def res_copies(l):
+        """The 15 tile -> wide-slab DMAs for resident layer ``l`` (all on
+        wsem[l]; wait each to consume the layer)."""
+        cs = []
+        for j in range(nq):
+            cs.append(pltpu.make_async_copy(
+                tiles_ref.at[l, j],
+                wq.at[l, :, pl.ds(j * h_size, h_size)], wsem.at[l]))
+        for kk in range(ko):
+            cs.append(pltpu.make_async_copy(
+                tiles_ref.at[l, nq + kk],
+                wo.at[l, pl.ds(kk * h_size, h_size), :], wsem.at[l]))
+        for j in range(ng):
+            cs.append(pltpu.make_async_copy(
+                tiles_ref.at[l, nq + ko + j],
+                wg.at[l, :, pl.ds(j * h_size, h_size)], wsem.at[l]))
+        for kk in range(kd):
+            cs.append(pltpu.make_async_copy(
+                tiles_ref.at[l, nq + ko + ng + kk],
+                wd.at[l, pl.ds(kk * h_size, h_size), :], wsem.at[l]))
+        return cs
 
     # Streamed-layer tile ring: layers >= ``resident`` re-stream their
     # tiles from HBM every step (bf16 CP layers don't all fit VMEM).
@@ -746,10 +775,12 @@ def _cp_frame_kernel(
     def hdma(g):
         return pltpu.make_async_copy(heads_ref.at[g], hbuf.at[g % 2], hsem.at[g % 2])
 
-    # Warm-up: resident layer weights, the stream ring, head 0, group-0
-    # embed halves.
-    for l in range(resident):
-        wdma(l).start()
+    # Warm-up: the first two resident layers' weights (the rest prefetch
+    # two layers ahead inside step 0 to bound outstanding DMAs), the stream
+    # ring, head 0, group-0 embed halves.
+    for l in range(min(resident, 2)):
+        for c in res_copies(l):
+            c.start()
     for u in range(min(wl_nbuf - 1, total_stream) if streamed else 0):
         wldma(u).start()
     hdma(0).start()
@@ -766,23 +797,30 @@ def _cp_frame_kernel(
     lane_v = jax.lax.broadcasted_iota(jnp.int32, (1, vocab), 1)
     lane_c = jax.lax.broadcasted_iota(jnp.int32, (1, codes_ref.shape[-1]), 1)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (s_max, 1), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s_max), 2)
+    # GQA-without-relayouts constants (same trick as the talker kernel):
+    # queries become a block-diagonal [KV*D, H] matrix so scores^T and the
+    # pv product are each ONE dot against the native [s_max, KV*D] cache —
+    # the zero blocks contribute exact f32 zeros, so values match the
+    # per-head batched form bit-for-bit.
+    gq = hh // kv
+    _bd_row = jax.lax.broadcasted_iota(jnp.int32, (kv_dim, 1), 0)
+    _bd_col = jax.lax.broadcasted_iota(jnp.int32, (1, hh), 1)
+    bd_sel = (_bd_row // d) == (_bd_col // gq)
+    kv_sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (hh, kv, 1), 1)
+        == jax.lax.broadcasted_iota(jnp.int32, (hh, kv, 1), 0) // gq
+    ).astype(jnp.float32)
 
-    def run_layer(l, x, get_w, p):
-        """One decoder layer at position ``p``; ``get_w(j)`` yields the
-        layer's j-th [H, H] tile in compute form."""
+    def run_layer(l, x, mms, p):
+        """One decoder layer at position ``p``; ``mms`` = (mm_qkv, mm_o,
+        mm_gu, mm_down) matmul closures returning f32 (qkv/gu pre-scaled)."""
+        mm_qkv, mm_o, mm_gu, mm_down = mms
         cos = cos_ref[p].astype(cdtype)  # [1, D/2]
         sin = sin_ref[p].astype(cdtype)
-        live = col_ids <= p
         row_sel = row_ids == p
 
         normed = _rms(x.astype(jnp.float32), input_ln_ref[l], eps).astype(mdtype)
-        sqkv = sqkv_ref[l]
-        parts = []
-        for j in range(nq):
-            acc = jnp.dot(normed, get_w(j), preferred_element_type=jnp.float32)
-            parts.append(acc * sqkv[:, j * h_size : (j + 1) * h_size])
-        qkv = jnp.concatenate(parts, axis=-1).astype(cdtype)
+        qkv = mm_qkv(normed).astype(cdtype)
 
         q = qkv[0, :q_dim].reshape(hh, d)
         k = qkv[0, q_dim : q_dim + kv_dim].reshape(kv, d)
@@ -810,50 +848,31 @@ def _cp_frame_kernel(
         kbuf[l] = keys2d
         vbuf[l] = vals2d
 
-        keys = keys2d.reshape(s_max, kv, d)
-        vals = vals2d.reshape(s_max, kv, d)
-        gq = hh // kv
-        qg = q.reshape(kv, gq, d)
-        scores = jax.lax.dot_general(
-            qg, keys.transpose(1, 2, 0), (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale_f
-        scores = jnp.where(live, scores, jnp.float32(-1e30))
-        weights = jax.nn.softmax(scores, axis=-1).astype(vals.dtype)
-        attn = jax.lax.dot_general(
-            weights, vals.transpose(1, 0, 2), (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).astype(mdtype).reshape(1, q_dim)
+        # Block-diagonal GQA: scores^T = keys2d @ Qbd, ONE dot. Rows past p
+        # are masked; softmax over the key axis (rows).
+        qT = q.transpose(1, 0)  # [d, H]
+        qtiled = jnp.broadcast_to(qT[None], (kv, d, hh)).reshape(kv_dim, hh)
+        qbd = jnp.where(bd_sel, qtiled, jnp.zeros_like(qtiled)).astype(cdtype)
+        s_t = jnp.dot(
+            keys2d, qbd, preferred_element_type=jnp.float32
+        ) * scale_f  # [s_max, H] = scores^T
+        s_t = jnp.where(row_ids <= p, s_t, jnp.float32(-1e30))
+        w_t = jax.nn.softmax(s_t, axis=0).astype(vals2d.dtype)  # [s_max, H]
+        pv = jnp.dot(
+            w_t.transpose(1, 0), vals2d, preferred_element_type=jnp.float32
+        )  # [H, KV*D]
+        pv_h = (pv.reshape(hh, kv, d) * kv_sel).sum(axis=1)  # [H, d] f32
+        attn = pv_h.astype(mdtype).reshape(1, q_dim)
 
-        o_acc = jnp.zeros((1, h_size), jnp.float32)
-        for kk in range(ko):
-            o_acc = o_acc + jnp.dot(
-                attn[:, kk * h_size : (kk + 1) * h_size], get_w(nq + kk),
-                preferred_element_type=jnp.float32,
-            )
-        x = x + (o_acc * so_ref[l]).astype(cdtype)
+        x = x + (mm_o(attn) * so_ref[l]).astype(cdtype)
 
         normed = _rms(x.astype(jnp.float32), post_ln_ref[l], eps).astype(mdtype)
-        sgu = sgu_ref[l]
-        parts = []
-        for j in range(ng):
-            acc = jnp.dot(
-                normed, get_w(nq + ko + j), preferred_element_type=jnp.float32
-            )
-            parts.append(acc * sgu[:, j * h_size : (j + 1) * h_size])
-        gu = jnp.concatenate(parts, axis=-1).astype(cdtype)
+        gu = mm_gu(normed).astype(cdtype)
         gf = gu[:, :inter].astype(jnp.float32)
         silu = (gf * (1.0 / (1.0 + jnp.exp(-gf)))).astype(cdtype)
         act = (silu * gu[:, inter:]).astype(mdtype)
 
-        d_acc = jnp.zeros((1, h_size), jnp.float32)
-        for kk in range(kd):
-            d_acc = d_acc + jnp.dot(
-                act[:, kk * h_size : (kk + 1) * h_size],
-                get_w(nq + ko + ng + kk),
-                preferred_element_type=jnp.float32,
-            )
-        return x + (d_acc * sdown_ref[l]).astype(cdtype)
+        return x + (mm_down(act) * sdown_ref[l]).astype(cdtype)
 
     def step(p, carry):
         prev, codes = carry  # [1, 1] int32, [1, 16] int32
@@ -895,24 +914,92 @@ def _cp_frame_kernel(
         x = jnp.where(p >= 2, x_emb.astype(cdtype), x_pre)
 
         # ---- resident layers (DMA'd once, waited lazily on step 0) ----
+        def _deq(w):
+            return w.astype(jnp.bfloat16) if quantized else w
+
+        def res_mms(l):
+            return (
+                lambda xm: jnp.dot(
+                    xm, _deq(wq[l]), preferred_element_type=jnp.float32
+                ) * sqkv_ref[l],
+                lambda xm: jnp.dot(
+                    xm, _deq(wo[l]), preferred_element_type=jnp.float32
+                ),
+                lambda xm: jnp.dot(
+                    xm, _deq(wg[l]), preferred_element_type=jnp.float32
+                ) * sgu_ref[l],
+                lambda xm: jnp.dot(
+                    xm, _deq(wd[l]), preferred_element_type=jnp.float32
+                ),
+            )
+
         def res_body(l, xc):
             @pl.when(p == 0)
             def _():
-                wdma(l).wait()
+                for c in res_copies(l):
+                    c.wait()
 
-            return run_layer(l, xc, lambda j: _res_tile(l, j), p)
+                @pl.when(l + 2 < resident)
+                def _():
+                    for c in res_copies(l + 2):
+                        c.start()
 
-        def _res_tile(l, j):
-            w = wres[l, j]
-            return w.astype(jnp.bfloat16) if quantized else w
+            return run_layer(l, xc, res_mms(l), p)
 
         x = jax.lax.fori_loop(0, resident, res_body, x)
 
         # ---- streamed layers (tiles re-streamed from HBM every step) ----
         if streamed:
+            def str_mms(l, u_base):
+                def mm_qkv(xm):
+                    parts = []
+                    for j in range(nq):
+                        acc = jnp.dot(
+                            xm, consume(u_base + j),
+                            preferred_element_type=jnp.float32,
+                        )
+                        parts.append(
+                            acc * sqkv_ref[l][:, j * h_size : (j + 1) * h_size]
+                        )
+                    return jnp.concatenate(parts, axis=-1)
+
+                def mm_o(xm):
+                    acc = jnp.zeros((1, h_size), jnp.float32)
+                    for kk in range(ko):
+                        acc = acc + jnp.dot(
+                            xm[:, kk * h_size : (kk + 1) * h_size],
+                            consume(u_base + nq + kk),
+                            preferred_element_type=jnp.float32,
+                        )
+                    return acc
+
+                def mm_gu(xm):
+                    parts = []
+                    for j in range(ng):
+                        acc = jnp.dot(
+                            xm, consume(u_base + nq + ko + j),
+                            preferred_element_type=jnp.float32,
+                        )
+                        parts.append(
+                            acc * sgu_ref[l][:, j * h_size : (j + 1) * h_size]
+                        )
+                    return jnp.concatenate(parts, axis=-1)
+
+                def mm_down(xm):
+                    acc = jnp.zeros((1, h_size), jnp.float32)
+                    for kk in range(kd):
+                        acc = acc + jnp.dot(
+                            xm[:, kk * h_size : (kk + 1) * h_size],
+                            consume(u_base + nq + ko + ng + kk),
+                            preferred_element_type=jnp.float32,
+                        )
+                    return acc
+
+                return mm_qkv, mm_o, mm_gu, mm_down
+
             def str_body(l, xc):
                 u_base = (p * streamed + (l - resident)) * tpl
-                return run_layer(l, xc, lambda j: consume(u_base + j), p)
+                return run_layer(l, xc, str_mms(l, u_base), p)
 
             x = jax.lax.fori_loop(resident, layers, str_body, x)
 
@@ -1080,8 +1167,13 @@ def streamed_cp_frame(
     operands += [pack["tiles"], etab2, heads_arr]
     in_specs += [hbm, hbm, hbm]
 
+    nq_p, ko_p, ng_p, kd_p = plan
     scratch_shapes = [
-        pltpu.VMEM((resident, tiles_per_layer, h_size, h_size), tile_dtype)
+        # Wide resident-weight slabs, one per projection (see kernel note).
+        pltpu.VMEM((resident, h_size, nq_p * h_size), tile_dtype),
+        pltpu.VMEM((resident, ko_p * h_size, h_size), tile_dtype),
+        pltpu.VMEM((resident, h_size, ng_p * h_size), tile_dtype),
+        pltpu.VMEM((resident, kd_p * h_size, h_size), tile_dtype),
     ]
     if streamed:
         scratch_shapes.append(pltpu.VMEM((CP_STREAM_NBUF, h_size, h_size), tile_dtype))
