@@ -149,7 +149,11 @@ def main():
             "frame_ms": round(statistics.mean(gen_ms) / max(frames_out, 1), 2),
             "tok_per_s": round(frames_out / (statistics.mean(gen_ms) / 1e3), 1),
             "streaming_rtf": round(statistics.mean(stream_rtfs), 4),
+            # Mean TTFA is vulnerable to one remote-tunnel hiccup among
+            # the iterations (observed: a single ~380 ms outlier tripling
+            # the mean); report min alongside, like rtf_min.
             "ttfa_ms": round(statistics.mean(ttfas) * 1e3, 1),
+            "ttfa_ms_min": round(min(ttfas) * 1e3, 1),
         }
         print(f"{name}: {results[name]}", file=sys.stderr)
 
@@ -215,6 +219,7 @@ def main():
     icl = {
         "ref_frames": ref_frames,
         "ttfa_ms": round(statistics.mean(clone_ttfas) * 1e3, 1),
+        "ttfa_ms_min": round(min(clone_ttfas) * 1e3, 1),
         "streaming_rtf": round(statistics.mean(clone_rtfs), 4),
         "prompt_encode_ms_3s_audio": round(prompt_encode_ms, 1),
     }
