@@ -93,6 +93,13 @@ class SynthesisOptions:
     # (tests/streaming_e2e.rs:150-157). False = legacy chunk-local context
     # (the reference behavior; marginally cheaper per chunk).
     streaming_exact: bool = True
+    # Chunks to keep speculatively in flight AHEAD of the chunk being
+    # fetched in next_chunk(): the device advances chunk k+1 while the host
+    # fetches/plays chunk k, hiding the per-chunk dispatch+fetch round trip
+    # (~30 ms through a remote-TPU tunnel; one launch latency locally).
+    # Programs dispatched past EOS no-op their while_loop and are discarded.
+    # 0 = strictly serial dispatch->fetch (the pre-R3.6 behavior).
+    streaming_lookahead: int = 1
 
     def sampling_config(self) -> sampling.SamplingConfig:
         return sampling.SamplingConfig(
@@ -1122,6 +1129,11 @@ class StreamingSession:
         self.prefix_codes: np.ndarray | None = None
         # Sample-exact streaming vocoder carry (options.streaming_exact).
         self.vstate: vocoder.VocoderStreamState | None = None
+        # Speculative in-flight chunk programs (options.streaming_lookahead):
+        # list of (start_frame, chunk_size, wav_dev, n_dev, done_dev).
+        self._pending: list[tuple[int, int, object, object, object]] = []
+        # Dispatch frontier in frames (>= frames_emitted while speculating).
+        self._spec_frontier = 0
 
     @property
     def frames_generated(self) -> int:
@@ -1293,7 +1305,7 @@ class StreamingSession:
             return self.model.decode_codes(frames)
         chunk = DECODE_BUCKET
         max_len = self.options.max_length
-        if self.frames_emitted == 0:
+        if self._spec_frontier == 0 and self.frames_emitted == 0:
             prefix = (
                 self.prefix_codes
                 if self.prefix_codes is not None and len(self.prefix_codes)
@@ -1306,6 +1318,26 @@ class StreamingSession:
         pending: list[tuple[int, object, object, object]] = []
         spec = self.frames_emitted  # dispatch frontier (frames)
         total: int | None = None  # true frame count once EOS/limit observed
+
+        # Drain speculative chunk programs queued by earlier next_chunk()
+        # calls (streaming_lookahead): their rows were never returned to the
+        # caller and the stateful vocoder has already consumed them, so their
+        # audio belongs at the head of this output.
+        for e0, csz, w, nd, dd in self._pending:
+            if total is not None and e0 >= total:
+                continue
+            wavp, n, done = jax.device_get((w, nd, dd))
+            n, done = int(n), bool(done)
+            emitted_here = min(n, e0 + csz) - e0
+            if emitted_here > 0:
+                parts.append(
+                    np.asarray(wavp[0][: emitted_here * T.SAMPLES_PER_FRAME])
+                )
+            if done or n >= max_len:
+                total = n if total is None else min(total, n)
+        if self._pending:
+            self._pending.clear()
+            spec = self._spec_frontier
 
         def drain_one() -> None:
             nonlocal total
@@ -1366,8 +1398,13 @@ class StreamingSession:
             return self._next_chunk_exact(chunk)
         return self._next_chunk_legacy(chunk)
 
-    def _next_chunk_exact(self, chunk: int) -> AudioBuffer | None:
-        target = min(self.frames_emitted + chunk, self.options.max_length)
+    def _dispatch_exact_ahead(self, chunk: int) -> None:
+        """Queue one fused advance+decode program at the dispatch frontier.
+
+        Growth, vocoder-state init and the ICL prefix feed all operate on
+        device futures, so nothing here blocks on the device.
+        """
+        target = min(self._spec_frontier + chunk, self.options.max_length)
         # Pre-grow the frame/cache buffers so the fused program runs exactly
         # once per chunk (generate_frames only stops early at the buffer cap;
         # cap >= target means no mid-chunk re-entry, which would double-feed
@@ -1381,7 +1418,7 @@ class StreamingSession:
             if new_cap <= cap:
                 break
             self._grow(new_cap)
-        if self.frames_emitted == 0:
+        if self._spec_frontier == 0:
             prefix = (
                 self.prefix_codes
                 if self.prefix_codes is not None and len(self.prefix_codes)
@@ -1391,18 +1428,40 @@ class StreamingSession:
             if prefix is not None:
                 self._feed_prefix(np.asarray(prefix, np.int32), chunk)
         wav_dev, n_dev, done_dev = self._dispatch_chunk_exact(
-            target, self.frames_emitted, chunk
+            target, self._spec_frontier, chunk
         )
+        self._pending.append((self._spec_frontier, chunk, wav_dev, n_dev, done_dev))
+        self._spec_frontier = target
+
+    def _next_chunk_exact(self, chunk: int) -> AudioBuffer | None:
+        if not self._pending:
+            self._dispatch_exact_ahead(chunk)
+        # Speculative dispatch-ahead (journal R3.6): queue up to
+        # streaming_lookahead further chunk programs BEFORE fetching this
+        # one. Programs chain device-side through the donated carry, so the
+        # device advances chunk k+1 while the host fetches (and the caller
+        # plays) chunk k. A program dispatched past EOS no-ops its
+        # while_loop (state.done short-circuits) and is discarded below.
+        steady = max(self.options.chunk_frames, 1)
+        while (
+            len(self._pending) <= max(self.options.streaming_lookahead, 0)
+            and self._spec_frontier < self.options.max_length
+        ):
+            self._dispatch_exact_ahead(steady)
+        e0, csz, wav_dev, n_dev, done_dev = self._pending.pop(0)
         wav, n, done = jax.device_get((wav_dev, n_dev, done_dev))
         n, done = int(n), bool(done)
         done = done or n >= self.options.max_length
-        if n <= self.frames_emitted:
+        if n <= e0:
             self._exhausted = True
+            self._pending.clear()
             return None
-        true_frames = n - self.frames_emitted
+        # The program ran with frame_limit == e0 + csz, so n <= e0 + csz.
+        true_frames = n - e0
         self.frames_emitted = n
         if done:
             self._exhausted = True
+            self._pending.clear()
         # Rows past ``n`` in the chunk were zero-code frames; they advanced
         # the (now-dead) vocoder state but their samples are trimmed here.
         samples = np.asarray(wav[0][: true_frames * T.SAMPLES_PER_FRAME])

@@ -342,6 +342,44 @@ def test_streaming_exact_icl_prefix(model):
     np.testing.assert_allclose(stream, expect, rtol=0, atol=2e-6)
 
 
+def test_streaming_lookahead_parity(model):
+    """Speculative dispatch-ahead (streaming_lookahead, journal R3.6) must
+    not change a sample: the chunk stream with lookahead=2 equals the
+    strictly-serial lookahead=0 stream chunk-for-chunk, including the tail
+    where speculative programs past EOS/max_length are discarded."""
+    base = dict(max_length=9, seed=5, chunk_frames=2, first_chunk_frames=None)
+    s0 = model.synthesize_streaming(
+        "spec", "ryan", "english", SynthesisOptions(streaming_lookahead=0, **base)
+    )
+    a0 = [np.asarray(c.samples) for c in s0]
+    s2 = model.synthesize_streaming(
+        "spec", "ryan", "english", SynthesisOptions(streaming_lookahead=2, **base)
+    )
+    a2 = [np.asarray(c.samples) for c in s2]
+    assert len(a0) == len(a2)
+    for x, y in zip(a0, a2):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_streaming_lookahead_then_run_to_audio(model):
+    """next_chunk() (which queues a speculative program) followed by
+    run_to_audio() must still produce the complete utterance exactly once:
+    the drained speculative chunk's audio belongs at the head of the
+    run_to_audio output, and the stateful vocoder must not double-feed."""
+    opts = SynthesisOptions(max_length=8, seed=42, chunk_frames=3)
+    session = model.synthesize_streaming("mix", "ryan", "english", opts)
+    first = session.next_chunk()
+    assert session._pending  # a speculative program is in flight
+    rest = session.run_to_audio()
+    stream = np.concatenate([np.asarray(first.samples), np.asarray(rest.samples)])
+
+    session2 = model.synthesize_streaming("mix", "ryan", "english", opts)
+    frames = session2.run_to_completion()
+    batch = model.decode_codes(frames)
+    assert len(stream) == len(batch.samples)
+    np.testing.assert_allclose(stream, batch.samples, rtol=0, atol=2e-6)
+
+
 def test_streaming_legacy_mode_still_available(model):
     """streaming_exact=False reproduces the reference's chunk-local decode."""
     opts = SynthesisOptions(max_length=8, seed=42, chunk_frames=3, streaming_exact=False)
