@@ -5,7 +5,9 @@ CLI only): a stdlib HTTP server in front of the TPU pipeline, with a
 micro-batching scheduler that coalesces concurrent requests into ONE
 vmapped generation loop (``Qwen3TTS.synthesize_batch``) — on a
 bandwidth-bound model, batch-8 serves ~4.4x the aggregate throughput of
-sequential requests on the same chip (docs/BENCHMARKS.md).
+sequential requests on the same chip (docs/BENCHMARKS.md). Streaming
+sessions are time-sliced at chunk granularity, so long streams
+round-robin with other traffic instead of holding the device.
 
 Endpoints
 ---------
@@ -58,13 +60,20 @@ class _Request:
 class _StreamRequest:
     """Streaming synthesis job: the engine worker drives the TPU session and
     pushes each audio chunk (np.ndarray float32) into ``chunks``; ``None``
-    terminates the stream; an ``Exception`` reports failure."""
+    terminates the stream; an ``Exception`` reports failure.
+
+    Sessions are time-sliced: the worker generates ONE chunk per visit and
+    re-enqueues the job, so a long stream round-robins with batch jobs and
+    other streams instead of holding the device for its whole duration.
+    """
 
     text: str
     speaker: str
     language: str
     options: "SynthesisOptions"
     chunks: queue.Queue = field(default_factory=queue.Queue)
+    # Worker-private session state (created on the first slice).
+    _iter: object | None = None
 
 
 class BatchingEngine:
@@ -116,8 +125,8 @@ class BatchingEngine:
         """Gather up to max_batch requests within the window, grouped by
         options signature so no request runs with another's sampling params."""
         first = self.queue.get()
-        # Streaming jobs run solo (they hold the device for the session
-        # duration, yielding chunks as they decode).
+        # Streaming jobs run solo for ONE chunk (a time slice), then
+        # re-enqueue themselves — see _run_stream_slice.
         if isinstance(first, _StreamRequest):
             return [[first]]
         batch = [first]
@@ -146,7 +155,7 @@ class BatchingEngine:
         while True:
             for batch in self._collect():
                 if len(batch) == 1 and isinstance(batch[0], _StreamRequest):
-                    self._run_stream(batch[0])
+                    self._run_stream_slice(batch[0])
                     continue
                 try:
                     if len(batch) == 1:
@@ -185,19 +194,32 @@ class BatchingEngine:
                     for r in batch:
                         r.done.set()
 
-    def _run_stream(self, req: _StreamRequest) -> None:
-        """Drive one streaming session, chunk by chunk, on the worker."""
+    def _run_stream_slice(self, req: _StreamRequest) -> None:
+        """Advance one streaming session by ONE chunk, then yield the device.
+
+        The first slice pays prefill + the first chunk (TTFA unchanged vs the
+        run-to-completion scheduler); afterwards the job re-enqueues at the
+        queue tail, so concurrent streams and batch jobs interleave at chunk
+        granularity instead of serializing behind whole sessions. Speculative
+        dispatch-ahead (options.streaming_lookahead) still overlaps this
+        session's next chunk with whatever runs in between.
+        """
         try:
-            session = self.model.synthesize_streaming(
-                req.text, req.speaker, req.language, req.options
-            )
-            for chunk in session:
-                req.chunks.put(np.asarray(chunk.samples))
+            if req._iter is None:
+                session = self.model.synthesize_streaming(
+                    req.text, req.speaker, req.language, req.options
+                )
+                req._iter = iter(session)
+            chunk = next(req._iter, None)
         except Exception as e:  # noqa: BLE001 — forward to the HTTP handler
             logger.exception("streaming synthesis failed")
             req.chunks.put(e)
             return
-        req.chunks.put(None)
+        if chunk is None:
+            req.chunks.put(None)
+            return
+        req.chunks.put(np.asarray(chunk.samples))
+        self.queue.put(req)
 
 
 def _wav_stream_header(rate: int = 24000) -> bytes:

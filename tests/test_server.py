@@ -242,3 +242,64 @@ def test_streaming_engine_float_parity():
     stream = np.concatenate(chunks)
     assert len(stream) == len(alone.samples)
     np.testing.assert_allclose(stream, alone.samples, rtol=0, atol=2e-6)
+
+
+def test_streaming_time_slices_interleave_with_batch():
+    """A streaming session yields the device between chunks: a batch request
+    submitted mid-stream runs before the stream finishes (chunk-granularity
+    round-robin, not whole-session head-of-line blocking)."""
+    import numpy as np
+
+    from qwen3_tts_tpu.pipeline import SynthesisOptions
+
+    model = tp.tiny_model()
+    engine = srv.BatchingEngine(model, max_batch=2, batch_window_ms=5)
+
+    order = []
+    gate = threading.Event()
+    slices = [0]
+    real_slice = engine._run_stream_slice
+
+    def spy_slice(req):
+        slices[0] += 1
+        if slices[0] == 2:
+            # Hold the worker at the second slice until the batch job is
+            # queued, so the interleaving below is deterministic.
+            gate.wait(30)
+        order.append("slice")
+        real_slice(req)
+
+    engine._run_stream_slice = spy_slice
+
+    real_syn = model.synthesize_with_voice
+
+    def spy_syn(*a, **k):
+        order.append("batch")
+        return real_syn(*a, **k)
+
+    model.synthesize_with_voice = spy_syn
+
+    sreq = srv._StreamRequest(
+        "long stream", "ryan", "english",
+        SynthesisOptions(max_length=8, seed=5, chunk_frames=2),
+    )
+    engine.submit_stream(sreq)
+    first = sreq.chunks.get(timeout=120)
+    assert isinstance(first, np.ndarray)
+
+    breq = srv._Request(
+        "quick job", "ryan", "english", SynthesisOptions(max_length=4, seed=6)
+    )
+    engine.queue.put(breq)  # enqueue while the stream still has slices left
+    gate.set()
+    assert breq.done.wait(120) and breq.error is None
+
+    while True:  # drain the stream to completion
+        item = sreq.chunks.get(timeout=120)
+        assert not isinstance(item, Exception)
+        if item is None:
+            break
+
+    i = order.index("batch")
+    assert "slice" in order[:i], order  # stream started first
+    assert "slice" in order[i + 1:], order  # ...and resumed after the batch job
