@@ -26,6 +26,7 @@ ops per launch; these fuse an entire layer.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -1044,7 +1045,10 @@ def _cp_frame_kernel(
 
 # VMEM budget for resident CP layer weights: int8 1.7B/0.6B fit all 5
 # layers (~79 MB); bf16 fits 2 (~63 MB), the rest re-stream per step.
-CP_WRES_BUDGET = 82 * 2**20
+# QWEN3_TTS_CP_WRES_MB overrides (journal R3.7: bumping bf16 residency to
+# 3 layers (~95 MB) would cut per-frame re-streaming from 3 to 2 layers —
+# worth an A/B if the total VMEM footprint still compiles).
+CP_WRES_BUDGET = int(os.environ.get("QWEN3_TTS_CP_WRES_MB", "82")) * 2**20
 CP_STREAM_NBUF = 6
 
 
