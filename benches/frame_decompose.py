@@ -73,9 +73,12 @@ def main():
         print(msg, flush=True)
 
     # --- talker decode step, chained on hidden + carried cache ---
+    # Params are jit ARGUMENTS everywhere below: closing over them would
+    # capture multi-GB weight trees as lowered constants (slow compiles,
+    # and constant-folded layouts that don't match production programs).
     note("compiling talker loop...")
     @jax.jit
-    def talker_loop(x0, cache):
+    def talker_loop(tp, x0, cache):
         def body(i, carry):
             x, cache = carry
             h, logits, cache = talker.decode_step(tp, tcfg, x, jnp.int32(10) + i, cache)
@@ -86,10 +89,10 @@ def main():
 
     x0 = jnp.zeros((1, 1, hidden), jnp.bfloat16) + 0.01
     cache0 = nn.init_kv_cache(tcfg.layer_stack(), 1, rows, jnp.bfloat16)
-    out = talker_loop(x0, cache0)
+    out = talker_loop(tp, x0, cache0)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    jax.block_until_ready(talker_loop(x0, cache0))
+    jax.block_until_ready(talker_loop(tp, x0, cache0))
     results["talker_ms"] = (time.perf_counter() - t0) * 1e3 / n
 
     # --- CP frame, chained on hidden perturbation from codes ---
@@ -97,7 +100,7 @@ def main():
     cp_slices = cp.scan_slices(cpp, cpcfg) if cpcfg.decode_mode != "jacobi" else None
 
     @jax.jit
-    def cp_loop(h0, s0):
+    def cp_loop(cpp, cp_slices, h0, s0):
         def body(i, carry):
             h, s = carry
             codes = cp.predict_acoustic_codes(cpp, cpcfg, h, s, cp_slices)
@@ -107,9 +110,9 @@ def main():
 
     h0 = jnp.zeros((1, 1, hidden), jnp.bfloat16) + 0.01
     s0 = jnp.zeros((1, 1, hidden), jnp.bfloat16) + 0.02
-    jax.block_until_ready(cp_loop(h0, s0))
+    jax.block_until_ready(cp_loop(cpp, cp_slices, h0, s0))
     t0 = time.perf_counter()
-    jax.block_until_ready(cp_loop(h0, s0))
+    jax.block_until_ready(cp_loop(cpp, cp_slices, h0, s0))
     results["cp_ms"] = (time.perf_counter() - t0) * 1e3 / n
 
     # --- sampling epilogue (penalties + sample + mask update), chained ---
@@ -142,7 +145,7 @@ def main():
     frames0 = jnp.zeros((256, 16), jnp.int32)
 
     @jax.jit
-    def embed_loop(tok0, frames):
+    def embed_loop(tp, tok0, frames):
         def body(i, carry):
             tok, frames = carry
             se = talker.embed_codec(tp, tok)[None, None, :]
@@ -153,9 +156,9 @@ def main():
             return (tok, frames)
         return jax.lax.fori_loop(0, n, body, (tok0, frames))
 
-    jax.block_until_ready(embed_loop(jnp.int32(5), frames0))
+    jax.block_until_ready(embed_loop(tp, jnp.int32(5), frames0))
     t0 = time.perf_counter()
-    jax.block_until_ready(embed_loop(jnp.int32(5), frames0))
+    jax.block_until_ready(embed_loop(tp, jnp.int32(5), frames0))
     results["embed_ms"] = (time.perf_counter() - t0) * 1e3 / n
 
     # --- full production loop ---

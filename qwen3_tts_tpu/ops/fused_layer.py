@@ -1044,11 +1044,11 @@ def _cp_frame_kernel(
 
 
 # VMEM budget for resident CP layer weights: int8 1.7B/0.6B fit all 5
-# layers (~79 MB); bf16 fits 2 (~63 MB), the rest re-stream per step.
-# QWEN3_TTS_CP_WRES_MB overrides (journal R3.7: bumping bf16 residency to
-# 3 layers (~95 MB) would cut per-frame re-streaming from 3 to 2 layers —
-# worth an A/B if the total VMEM footprint still compiles).
-CP_WRES_BUDGET = int(os.environ.get("QWEN3_TTS_CP_WRES_MB", "82")) * 2**20
+# layers (~79 MB); bf16 fits 3 (~90 MB), the rest re-stream per step.
+# QWEN3_TTS_CP_WRES_MB overrides. TPU A/B (benches/cp_ab.py, journal R3.8):
+# bf16 CP 2.51 ms at 2 resident -> 1.99 ms at 3; 4 resident (~120 MB +
+# ring/slabs) fails to compile, so 96 MB is the usable ceiling on v5e.
+CP_WRES_BUDGET = int(os.environ.get("QWEN3_TTS_CP_WRES_MB", "96")) * 2**20
 CP_STREAM_NBUF = 6
 
 
@@ -1067,6 +1067,28 @@ def supports_cp_frame_kernel(params: dict, cfg) -> bool:
     if cfg.num_acoustic + 1 > 16:
         return False
     return etab.shape[1] % 2 == 0
+
+
+def cp_resident_layers(params: dict, cfg) -> int:
+    """How many CP layers the frame kernel keeps VMEM-resident under
+    CP_WRES_BUDGET (int8 1.7B/0.6B: all 5; bf16: 2 at the default budget)."""
+    pack = params["stream_pack"]
+    stack_cfg = cfg.layer_stack()
+    h_size = stack_cfg.hidden_size
+    d = stack_cfg.head_dim
+    q_dim = stack_cfg.num_heads * d
+    kv_dim = stack_cfg.num_kv_heads * d
+    tiles_per_layer = (
+        (q_dim + 2 * kv_dim) // h_size
+        + q_dim // h_size
+        + 3 * stack_cfg.intermediate_size // h_size
+    )
+    per_layer_bytes = (
+        tiles_per_layer * h_size * h_size * pack["tiles"].dtype.itemsize
+    )
+    return min(
+        stack_cfg.num_layers, max(1, CP_WRES_BUDGET // per_layer_bytes)
+    )
 
 
 def streamed_cp_frame(
@@ -1101,8 +1123,7 @@ def streamed_cp_frame(
     tiles_per_layer = sum(plan)
     tile_dtype = pack["tiles"].dtype
     quantized = tile_dtype == jnp.int8
-    per_layer_bytes = tiles_per_layer * h_size * h_size * pack["tiles"].dtype.itemsize
-    resident = min(layers, max(1, CP_WRES_BUDGET // per_layer_bytes))
+    resident = cp_resident_layers(params, cfg)
     if resident_override is not None:
         resident = resident_override
     streamed = layers - resident

@@ -229,6 +229,34 @@ def test_cp_frame_kernel_codes_match_unfused(embed_dim, monkeypatch):
     np.testing.assert_array_equal(got, want)
 
 
+def test_cp_resident_layers_tracks_budget(monkeypatch):
+    """cp_resident_layers (used by streamed_cp_frame and benches/cp_ab.py)
+    scales with CP_WRES_BUDGET and clamps to [1, num_layers]."""
+    params = _quantized_params(jax.random.PRNGKey(3), STREAM_CFG)
+    pack = fused_layer.make_stream_pack(params["layers"], STREAM_CFG.layer_stack())
+    params_frame = dict(params)
+    params_frame["stream_pack"] = pack
+    layers = STREAM_CFG.layer_stack().num_layers
+
+    monkeypatch.setattr(fused_layer, "CP_WRES_BUDGET", 2**62)
+    assert fused_layer.cp_resident_layers(params_frame, STREAM_CFG) == layers
+    monkeypatch.setattr(fused_layer, "CP_WRES_BUDGET", 0)
+    assert fused_layer.cp_resident_layers(params_frame, STREAM_CFG) == 1
+    # Exactly one layer's bytes -> one resident layer.
+    stack = STREAM_CFG.layer_stack()
+    d = stack.head_dim
+    tiles = (
+        (stack.num_heads * d + 2 * stack.num_kv_heads * d) // stack.hidden_size
+        + stack.num_heads * d // stack.hidden_size
+        + 3 * stack.intermediate_size // stack.hidden_size
+    )
+    one_layer = tiles * stack.hidden_size**2 * pack["tiles"].dtype.itemsize
+    monkeypatch.setattr(fused_layer, "CP_WRES_BUDGET", one_layer)
+    assert fused_layer.cp_resident_layers(params_frame, STREAM_CFG) == 1
+    monkeypatch.setattr(fused_layer, "CP_WRES_BUDGET", 2 * one_layer)
+    assert fused_layer.cp_resident_layers(params_frame, STREAM_CFG) == min(layers, 2)
+
+
 @pytest.mark.parametrize("embed_dim", [None, 128])
 @pytest.mark.parametrize("resident", [None, 1])
 def test_cp_frame_kernel_plain_bf16_mode(embed_dim, resident, monkeypatch):
