@@ -732,6 +732,55 @@ class Qwen3TTS:
         from .generation import batch as gbatch
 
         options = self._normalize_options(options or SynthesisOptions())
+        states, trailing, trailing_lens, pad_embed, uniforms, scfg = (
+            self._prepare_batch(texts, speakers, languages, options, seeds)
+        )
+        b = len(texts)
+        states = gbatch.generate_frames_batch(
+            self.talker_params,
+            self.cp_params,
+            self.config.talker,
+            self.config.code_predictor,
+            scfg,
+            states,
+            trailing,
+            trailing_lens,
+            pad_embed,
+            uniforms,
+            jnp.int32(options.max_length),
+        )
+        frames, counts = jax.device_get((states.frames, states.frame_idx))
+        counts = np.asarray(counts)
+        t_max = int(counts.max()) if b else 0
+        if t_max == 0:
+            return [AudioBuffer(np.zeros(0, np.float32), T.OUTPUT_SAMPLE_RATE)] * b
+
+        # One batched vocoder pass at the max frame count; per-stream trim is
+        # exact because the vocoder is causal and padded frames are zeros.
+        codes = np.swapaxes(np.asarray(frames[:, :t_max, :], np.int32), 1, 2)  # [B,16,T]
+        wav = vocoder.decode_bucketed(
+            self.vocoder_params, self.vocoder_config, codes, bucket=DECODE_BUCKET
+        )
+        return [
+            AudioBuffer(wav[i, : int(counts[i]) * T.SAMPLES_PER_FRAME], T.OUTPUT_SAMPLE_RATE)
+            for i in range(b)
+        ]
+
+    def _prepare_batch(
+        self,
+        texts: list[str],
+        speakers: list[str] | str,
+        languages: list[str] | str,
+        options: SynthesisOptions,
+        seeds: list[int] | None,
+    ):
+        """Encode + prefill a batch of custom-voice prompts (one vmapped
+        program); shared by ``synthesize_batch`` and
+        ``synthesize_streaming_batch``. Returns the batched GenState plus the
+        per-stream trailing embeds / uniform streams the frame loop consumes.
+        """
+        from .generation import batch as gbatch
+
         b = len(texts)
         if isinstance(speakers, str):
             speakers = [speakers] * b
@@ -809,35 +858,36 @@ class Qwen3TTS:
             uniforms,
             max_new_bucket,
         )
-        states = gbatch.generate_frames_batch(
-            self.talker_params,
-            self.cp_params,
-            self.config.talker,
-            self.config.code_predictor,
-            scfg,
-            states,
-            trailing,
-            trailing_lens,
-            pads[0],
-            uniforms,
-            jnp.int32(options.max_length),
-        )
-        frames, counts = jax.device_get((states.frames, states.frame_idx))
-        counts = np.asarray(counts)
-        t_max = int(counts.max()) if b else 0
-        if t_max == 0:
-            return [AudioBuffer(np.zeros(0, np.float32), T.OUTPUT_SAMPLE_RATE)] * b
+        return states, trailing, trailing_lens, pads[0], uniforms, scfg
 
-        # One batched vocoder pass at the max frame count; per-stream trim is
-        # exact because the vocoder is causal and padded frames are zeros.
-        codes = np.swapaxes(np.asarray(frames[:, :t_max, :], np.int32), 1, 2)  # [B,16,T]
-        wav = vocoder.decode_bucketed(
-            self.vocoder_params, self.vocoder_config, codes, bucket=DECODE_BUCKET
+    def synthesize_streaming_batch(
+        self,
+        texts: list[str],
+        speakers: list[str] | str = "ryan",
+        languages: list[str] | str = "english",
+        options: SynthesisOptions | None = None,
+        seeds: list[int] | None = None,
+    ) -> "StreamingBatchSession":
+        """Batched streaming: B concurrent streams, ONE fused program per chunk.
+
+        Each ``next_chunks()`` call advances ALL live streams by one chunk
+        through a single vmapped while_loop and decodes their new frames with
+        the batch-native sample-exact streaming vocoder — the per-frame weight
+        streaming (the bandwidth bound) is paid once for the whole batch, so
+        aggregate streaming throughput scales near-B x on one chip while every
+        stream still receives audio at chunk cadence. Per-stream output is
+        identical to ``synthesize_batch`` (and hence to the single-stream
+        path; stream i uses seeds[i], default options.seed + i). New
+        capability: the reference serves strictly one stream at a time
+        (src/lib.rs:1484-1782, kv_cache.rs:262).
+        """
+        options = self._normalize_options(options or SynthesisOptions())
+        states, trailing, trailing_lens, pad_embed, uniforms, scfg = (
+            self._prepare_batch(texts, speakers, languages, options, seeds)
         )
-        return [
-            AudioBuffer(wav[i, : int(counts[i]) * T.SAMPLES_PER_FRAME], T.OUTPUT_SAMPLE_RATE)
-            for i in range(b)
-        ]
+        return StreamingBatchSession(
+            self, states, scfg, options, trailing, trailing_lens, pad_embed, uniforms
+        )
 
     def synthesize_voice_design(
         self,
@@ -1101,6 +1151,65 @@ def _advance_and_decode_chunk_exact(
     )  # [chunk, 16]
     wav, vstate = vocoder.decode_stream_chunk(voc_params, vcfg, vstate, rows.T[None])
     return state, vstate, wav, state.frame_idx, state.done
+
+
+@partial(
+    jax.jit,
+    static_argnames=("tcfg", "cpcfg", "scfg", "vcfg", "chunk"),
+    donate_argnames=("states", "vstate"),
+)
+def _advance_and_decode_chunk_batch(
+    talker_params,
+    cp_params,
+    voc_params,
+    tcfg,
+    cpcfg,
+    scfg,
+    vcfg,
+    states,
+    vstate,
+    trailing,
+    trailing_lens,
+    pad_embed,
+    uniforms,
+    frame_limit,
+    emitted,
+    chunk: int,
+):
+    """One streaming chunk for a BATCH of streams, as a single device program.
+
+    The vmapped while_loop advances every live stream by ``chunk`` frames
+    (EOS-done streams freeze; see generation/batch.py), then the batch-native
+    streaming vocoder decodes the new rows of all streams together — the
+    frame loop's weight streaming and the vocoder's weight reads are paid
+    once per chunk for the whole batch. Rows past a stream's own frame count
+    are zero-code frames; the stack is causal, so the per-stream host-side
+    trim is exact and each stream's concatenated audio equals its
+    ``synthesize_batch`` output.
+    """
+    from .generation import batch as gbatch
+
+    # Same vmap constraints as generate_frames_batch: tiered decode attention
+    # off (batched lax.switch computes all branches) and no batch-1 whole-step
+    # stream kernels.
+    tcfg = replace(tcfg, decode_tiering=False)
+    talker_params = {k: v for k, v in talker_params.items() if k != "stream_pack"}
+    cp_params = {k: v for k, v in cp_params.items() if k != "stream_pack"}
+    states = gbatch._batched_generate(
+        talker_params, cp_params, tcfg, cpcfg, scfg, states,
+        trailing, trailing_lens, pad_embed, uniforms, frame_limit,
+    )
+    b, _, n_codes = states.frames.shape
+    frames_ext = jnp.concatenate(
+        [states.frames, jnp.zeros((b, chunk, n_codes), states.frames.dtype)], axis=1
+    )
+    rows = jax.lax.dynamic_slice(
+        frames_ext, (0, emitted, 0), (b, chunk, n_codes)
+    )  # [B, chunk, 16]
+    wav, vstate = vocoder.decode_stream_chunk(
+        voc_params, vcfg, vstate, jnp.swapaxes(rows, 1, 2)
+    )
+    return states, vstate, wav, states.frame_idx, states.done
 
 
 class StreamingSession:
@@ -1564,3 +1673,131 @@ class StreamingSession:
         if chunk is None:
             raise StopIteration
         return chunk
+
+
+class StreamingBatchSession:
+    """Pull-based streaming for a BATCH of utterances (one program per chunk).
+
+    ``next_chunks()`` returns ``[AudioBuffer | None] * B``: each live stream's
+    next chunk of samples, ``None`` once that stream is exhausted. All streams
+    advance together through one vmapped while_loop + one batch-native
+    streaming-vocoder pass, so the bandwidth-bound weight streaming is
+    amortized across the batch (near-B x aggregate streaming throughput; the
+    reference is strictly batch-1, kv_cache.rs:262). Streams that hit EOS
+    early freeze in the loop and emit ``None`` while the rest continue.
+
+    Always sample-exact (the batched vocoder carries per-stream causal state):
+    each stream's concatenated chunks equal its ``synthesize_batch`` audio.
+    ``options.streaming_lookahead`` chunk programs are kept speculatively in
+    flight, exactly as in the single-stream session (journal R3.6).
+
+    Buffers are preallocated at the max_length bucket (throughput mode, like
+    ``synthesize_batch``) — no growth tiers: one program shape per chunk size.
+    """
+
+    def __init__(self, model, states, scfg, options, trailing, trailing_lens, pad_embed, uniforms):
+        self.model = model
+        self.states = states
+        self.scfg = scfg
+        self.options = options
+        self.trailing = trailing
+        self.trailing_lens = trailing_lens
+        self.pad_embed = pad_embed
+        self.uniforms = uniforms
+        self.batch = int(states.frames.shape[0])
+        self.frames_emitted = 0
+        self._exhausted = False
+        self._stream_done = [False] * self.batch
+        # KV headroom: the final chunk's fixed-size slice may extend past the
+        # frame bucket (rows are zeros, audio trimmed); size the vocoder cache
+        # so its append never clamps.
+        headroom = max(options.chunk_frames, options.first_chunk_frames or 1, 1)
+        self.vstate = vocoder.init_stream_state(
+            model.vocoder_config,
+            max_frames=int(states.frames.shape[1]) + headroom,
+            batch=self.batch,
+        )
+        # Speculative in-flight chunk programs: (start_frame, chunk, wav, n, done).
+        self._pending: list[tuple[int, int, object, object, object]] = []
+        self._spec_frontier = 0
+
+    def is_done(self) -> bool:
+        return self._exhausted
+
+    def _dispatch_ahead(self, chunk: int) -> None:
+        target = min(self._spec_frontier + chunk, self.options.max_length)
+        self.states, self.vstate, wav_dev, n_dev, done_dev = (
+            _advance_and_decode_chunk_batch(
+                self.model.talker_params,
+                self.model.cp_params,
+                self.model.vocoder_params,
+                self.model.config.talker,
+                self.model.config.code_predictor,
+                self.scfg,
+                self.model.vocoder_config,
+                self.states,
+                self.vstate,
+                self.trailing,
+                self.trailing_lens,
+                self.pad_embed,
+                self.uniforms,
+                jnp.int32(target),
+                jnp.int32(self._spec_frontier),
+                chunk,
+            )
+        )
+        self._pending.append((self._spec_frontier, chunk, wav_dev, n_dev, done_dev))
+        self._spec_frontier = target
+
+    def next_chunks(self) -> list[AudioBuffer | None] | None:
+        """Advance all live streams one chunk; None when every stream is done."""
+        if self._exhausted:
+            return None
+        chunk = max(self.options.chunk_frames, 1)
+        if self.frames_emitted == 0 and self.options.first_chunk_frames:
+            chunk = max(min(self.options.first_chunk_frames, chunk), 1)
+        if not self._pending:
+            self._dispatch_ahead(chunk)
+        steady = max(self.options.chunk_frames, 1)
+        while (
+            len(self._pending) <= max(self.options.streaming_lookahead, 0)
+            and self._spec_frontier < self.options.max_length
+        ):
+            self._dispatch_ahead(steady)
+        e0, csz, wav_dev, n_dev, done_dev = self._pending.pop(0)
+        wav, ns, dones = jax.device_get((wav_dev, n_dev, done_dev))
+        ns, dones = np.asarray(ns), np.asarray(dones)
+        out: list[AudioBuffer | None] = []
+        for i in range(self.batch):
+            n_i = int(ns[i])
+            done_i = bool(dones[i]) or n_i >= self.options.max_length
+            if self._stream_done[i] or n_i <= e0:
+                self._stream_done[i] = True
+                out.append(None)
+                continue
+            # The program ran with frame_limit == e0 + csz, so n_i <= e0 + csz.
+            true_frames = min(n_i, e0 + csz) - e0
+            out.append(
+                AudioBuffer(
+                    np.asarray(wav[i][: true_frames * T.SAMPLES_PER_FRAME]),
+                    T.OUTPUT_SAMPLE_RATE,
+                )
+            )
+            if done_i and n_i <= e0 + csz:
+                self._stream_done[i] = True
+        self.frames_emitted = e0 + csz
+        if all(self._stream_done) or (
+            self._spec_frontier >= self.options.max_length and not self._pending
+        ):
+            self._exhausted = True
+            self._pending.clear()
+        return out
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> list[AudioBuffer | None]:
+        chunks = self.next_chunks()
+        if chunks is None:
+            raise StopIteration
+        return chunks

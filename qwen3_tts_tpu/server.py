@@ -7,7 +7,10 @@ vmapped generation loop (``Qwen3TTS.synthesize_batch``) — on a
 bandwidth-bound model, batch-8 serves ~4.4x the aggregate throughput of
 sequential requests on the same chip (docs/BENCHMARKS.md). Streaming
 sessions are time-sliced at chunk granularity, so long streams
-round-robin with other traffic instead of holding the device.
+round-robin with other traffic instead of holding the device; streaming
+requests arriving within the batch window additionally coalesce into ONE
+batched streaming session (``Qwen3TTS.synthesize_streaming_batch``), so N
+concurrent streams cost ~one stream's weight bandwidth per chunk.
 
 Endpoints
 ---------
@@ -76,6 +79,26 @@ class _StreamRequest:
     _iter: object | None = None
 
 
+@dataclass
+class _StreamGroup:
+    """Streaming requests coalesced into ONE batched session.
+
+    Fresh streaming requests arriving within the batch window (with matching
+    stream signatures) share a ``StreamingBatchSession``: every time slice
+    advances ALL member streams by one chunk through a single vmapped
+    program, so N concurrent streams cost ~one stream's weight bandwidth
+    instead of N. The group time-slices and re-enqueues itself exactly like
+    a solo stream. Per-request ``max_length`` is enforced host-side (the
+    shared session runs to the max; each stream's surplus frames are
+    trimmed — exact, since frames are emitted in order).
+    """
+
+    reqs: list[_StreamRequest]
+    frames_pushed: list[int]
+    alive: list[bool]
+    session: object | None = None
+
+
 class BatchingEngine:
     """Coalesces concurrent requests into batched TPU calls.
 
@@ -121,14 +144,64 @@ class BatchingEngine:
         self.queue.put(req)
         return req
 
+    @staticmethod
+    def _stream_signature(r: _StreamRequest) -> tuple:
+        """Fields that must match for streams to share one batched session:
+        the sampling signature plus the chunk cadence (all streams in a
+        group advance together)."""
+        o = r.options
+        return BatchingEngine._options_signature(r) + (
+            o.chunk_frames,
+            o.first_chunk_frames,
+            o.streaming_exact,
+            o.streaming_lookahead,
+        )
+
     def _collect(self) -> list[list[_Request]]:
         """Gather up to max_batch requests within the window, grouped by
         options signature so no request runs with another's sampling params."""
         first = self.queue.get()
-        # Streaming jobs run solo for ONE chunk (a time slice), then
-        # re-enqueue themselves — see _run_stream_slice.
-        if isinstance(first, _StreamRequest):
+        # A re-enqueued stream group runs one slice per visit.
+        if isinstance(first, _StreamGroup):
             return [[first]]
+        # Streaming jobs: a FRESH request waits out the batch window for
+        # peers to coalesce into one batched session (near-N x aggregate
+        # streaming throughput; costs at most batch_window_ms of TTFA when
+        # traffic is sparse). Mid-flight (re-enqueued) solo streams run one
+        # chunk per visit — see _run_stream_slice.
+        if isinstance(first, _StreamRequest):
+            if first._iter is not None or self.max_batch < 2:
+                return [[first]]
+            group = [first]
+            sig = self._stream_signature(first)
+            deadline = time.monotonic() + self.batch_window_s
+            while len(group) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self.queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if (
+                    isinstance(nxt, _StreamRequest)
+                    and nxt._iter is None
+                    and self._stream_signature(nxt) == sig
+                ):
+                    group.append(nxt)
+                else:
+                    # Runs after this group; keep FIFO by re-queueing.
+                    self.queue.put(nxt)
+                    break
+            if len(group) == 1:
+                return [[first]]
+            return [[
+                _StreamGroup(
+                    reqs=group,
+                    frames_pushed=[0] * len(group),
+                    alive=[True] * len(group),
+                )
+            ]]
         batch = [first]
         deadline = time.monotonic() + self.batch_window_s
         while len(batch) < self.max_batch:
@@ -154,6 +227,9 @@ class BatchingEngine:
 
         while True:
             for batch in self._collect():
+                if len(batch) == 1 and isinstance(batch[0], _StreamGroup):
+                    self._run_stream_group_slice(batch[0])
+                    continue
                 if len(batch) == 1 and isinstance(batch[0], _StreamRequest):
                     self._run_stream_slice(batch[0])
                     continue
@@ -220,6 +296,70 @@ class BatchingEngine:
             return
         req.chunks.put(np.asarray(chunk.samples))
         self.queue.put(req)
+
+    def _run_stream_group_slice(self, grp: _StreamGroup) -> None:
+        """Advance a batched streaming session by ONE chunk for all members.
+
+        The first slice builds the ``StreamingBatchSession`` (batched prefill
+        + first chunks = the group's TTFA); afterwards the group re-enqueues
+        like a solo stream, so it round-robins with other traffic at chunk
+        granularity. Each member's chunk is fanned out to its own HTTP
+        response queue; members that hit EOS (or their own ``max_length``)
+        are closed with ``None`` while the rest keep streaming.
+        """
+        from dataclasses import replace
+
+        from .models import tokens as T
+
+        def close(i: int, item) -> None:
+            if grp.alive[i]:
+                grp.reqs[i].chunks.put(item)
+                grp.alive[i] = False
+
+        try:
+            if grp.session is None:
+                base = grp.reqs[0].options
+                max_len = max(r.options.max_length for r in grp.reqs)
+                seeds = [
+                    r.options.seed
+                    if r.options.seed is not None
+                    else (time.time_ns() + i) % (1 << 63)
+                    for i, r in enumerate(grp.reqs)
+                ]
+                grp.session = self.model.synthesize_streaming_batch(
+                    [r.text for r in grp.reqs],
+                    [r.speaker for r in grp.reqs],
+                    [r.language for r in grp.reqs],
+                    replace(base, max_length=max_len),
+                    seeds=seeds,
+                )
+            chunks = grp.session.next_chunks()
+        except Exception as e:  # noqa: BLE001 — forward to every live member
+            logger.exception("batched streaming synthesis failed")
+            for i in range(len(grp.reqs)):
+                close(i, e)
+            return
+        if chunks is None:
+            for i in range(len(grp.reqs)):
+                close(i, None)
+            return
+        for i, (r, c) in enumerate(zip(grp.reqs, chunks)):
+            if not grp.alive[i]:
+                continue
+            if c is not None:
+                # Enforce THIS request's max_length (the shared session runs
+                # to the group max; frames arrive in order, so the trim is
+                # exact).
+                room = r.options.max_length - grp.frames_pushed[i]
+                take = min(len(c.samples) // T.SAMPLES_PER_FRAME, max(room, 0))
+                if take > 0:
+                    r.chunks.put(np.asarray(c.samples[: take * T.SAMPLES_PER_FRAME]))
+                    grp.frames_pushed[i] += take
+                if grp.frames_pushed[i] < r.options.max_length:
+                    continue
+            close(i, None)
+        if any(grp.alive):
+            self.queue.put(grp)
 
 
 def _wav_stream_header(rate: int = 24000) -> bytes:

@@ -244,6 +244,85 @@ def test_streaming_engine_float_parity():
     np.testing.assert_allclose(stream, alone.samples, rtol=0, atol=2e-6)
 
 
+def _drain_stream(req, timeout=120):
+    import numpy as np
+
+    parts = []
+    while True:
+        item = req.chunks.get(timeout=timeout)
+        assert not isinstance(item, Exception), item
+        if item is None:
+            break
+        parts.append(item)
+    return np.concatenate(parts) if parts else np.zeros(0, np.float32)
+
+
+def test_concurrent_streams_share_one_batched_session():
+    """Fresh streaming requests inside one batch window coalesce into a
+    single StreamingBatchSession; each request still gets exactly its own
+    audio, including its OWN max_length cap (the shared session runs to the
+    group max and the engine trims per request)."""
+    import numpy as np
+
+    from dataclasses import replace
+
+    from qwen3_tts_tpu.pipeline import SynthesisOptions
+
+    model = tp.tiny_model()
+    calls = []
+    orig = model.synthesize_streaming_batch
+
+    def spy(texts, speakers="ryan", languages="english", options=None, seeds=None):
+        calls.append((tuple(texts), tuple(seeds), options.max_length))
+        return orig(texts, speakers, languages, options, seeds=seeds)
+
+    model.synthesize_streaming_batch = spy
+
+    engine = srv.BatchingEngine(model, max_batch=4, batch_window_ms=300)
+    opts1 = SynthesisOptions(max_length=8, seed=5, chunk_frames=2)
+    opts2 = SynthesisOptions(max_length=6, seed=9, chunk_frames=2)
+    r1 = srv._StreamRequest("stream one", "ryan", "english", opts1)
+    r2 = srv._StreamRequest("stream two", "ryan", "english", opts2)
+    engine.submit_stream(r1)
+    engine.submit_stream(r2)
+    s1, s2 = _drain_stream(r1), _drain_stream(r2)
+
+    assert calls == [(("stream one", "stream two"), (5, 9), 8)]
+    # Parity incl. r2's smaller max_length: generated frames are
+    # frame_limit-independent before EOS, so the host-side trim equals a
+    # solo run at max_length=6.
+    a1 = model.synthesize_with_voice("stream one", options=opts1)
+    a2 = model.synthesize_with_voice("stream two", options=opts2)
+    assert len(s1) == len(a1.samples) and len(s2) == len(a2.samples)
+    np.testing.assert_allclose(s1, a1.samples, rtol=0, atol=2e-5)
+    np.testing.assert_allclose(s2, a2.samples, rtol=0, atol=2e-5)
+
+
+def test_mismatched_streams_not_grouped():
+    """Streams with different chunk cadence cannot share a session."""
+    from qwen3_tts_tpu.pipeline import SynthesisOptions
+
+    model = tp.tiny_model()
+    batch_calls = []
+    orig = model.synthesize_streaming_batch
+    model.synthesize_streaming_batch = lambda *a, **k: (
+        batch_calls.append(1) or orig(*a, **k)
+    )
+
+    engine = srv.BatchingEngine(model, max_batch=4, batch_window_ms=200)
+    r1 = srv._StreamRequest(
+        "one", "ryan", "english", SynthesisOptions(max_length=4, seed=1, chunk_frames=2)
+    )
+    r2 = srv._StreamRequest(
+        "two", "ryan", "english", SynthesisOptions(max_length=4, seed=2, chunk_frames=3)
+    )
+    engine.submit_stream(r1)
+    engine.submit_stream(r2)
+    out1, out2 = _drain_stream(r1), _drain_stream(r2)
+    assert not batch_calls  # ran as two solo sessions
+    assert len(out1) > 0 and len(out2) > 0
+
+
 def test_streaming_time_slices_interleave_with_batch():
     """A streaming session yields the device between chunks: a batch request
     submitted mid-stream runs before the stream finishes (chunk-granularity
