@@ -322,6 +322,44 @@ def test_facade_shard_streaming_chunks():
         np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
 
 
+def test_facade_shard_streaming_batch_dp():
+    """synthesize_streaming_batch under a dp=2 x tp=2 mesh: each stream's
+    concatenated chunks equal the unsharded batched-streaming output (the
+    fused batch advance+decode chunk program runs on the mesh)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import tests.test_pipeline as tpl
+    from qwen3_tts_tpu.parallel import sharding as S
+    from qwen3_tts_tpu.pipeline import SynthesisOptions
+
+    opts = SynthesisOptions(
+        max_length=6, seed=13, temperature=0.001, chunk_frames=3,
+        first_chunk_frames=2,
+    )
+    texts = ["gamma", "delta"]
+
+    def drain(session):
+        parts = [[] for _ in texts]
+        for chunks in session:
+            for i, c in enumerate(chunks):
+                if c is not None:
+                    parts[i].append(c.samples)
+        return [np.concatenate(p) for p in parts]
+
+    m_ref = tpl.tiny_model(dtype=jnp.float32)
+    out_ref = drain(m_ref.synthesize_streaming_batch(texts, options=opts))
+
+    mesh = S.make_mesh(jax.devices()[:4], tp=2)  # dp=2 x tp=2
+    m_sh = tpl.tiny_model(dtype=jnp.float32).shard(mesh)
+    out_sh = drain(m_sh.synthesize_streaming_batch(texts, options=opts))
+
+    for a, b in zip(out_ref, out_sh):
+        assert len(a) == len(b)
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
+
+
 def test_facade_shard_batch_dp():
     """synthesize_batch under a dp=2 x tp=2 mesh: per-stream audio equals the
     unsharded batch (utterance batch sharded over dp)."""
