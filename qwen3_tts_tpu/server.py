@@ -107,11 +107,27 @@ class BatchingEngine:
     singleton requests fall through to the single-stream path.
     """
 
-    def __init__(self, model, max_batch: int = 8, batch_window_ms: float = 30.0):
+    def __init__(self, model, max_batch: int = 8, batch_window_ms: float = 30.0,
+                 stream_window_ms: float | None = None):
         self.model = model
         self.max_batch = max_batch
         self.batch_window_s = batch_window_ms / 1e3
+        # Fresh streams wait this long for peers to coalesce into one batched
+        # session. It is a deliberate TTFA tax on sparse solo traffic (a solo
+        # stream's prefill starts stream_window_ms late when no peer ever
+        # arrives); operators serving mostly-solo streams can set it to 0 to
+        # disable coalescing entirely. Defaults to the batch window.
+        self.stream_window_s = (
+            self.batch_window_s if stream_window_ms is None else stream_window_ms / 1e3
+        )
         self.queue: queue.Queue[_Request] = queue.Queue()
+        # Items popped while collecting a group but belonging to a different
+        # group run FIRST on the next _collect visit (before anything still in
+        # the queue), preserving their FIFO position instead of sending them
+        # to the tail behind later arrivals.
+        from collections import deque
+
+        self._deferred: deque = deque()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -160,21 +176,30 @@ class BatchingEngine:
     def _collect(self) -> list[list[_Request]]:
         """Gather up to max_batch requests within the window, grouped by
         options signature so no request runs with another's sampling params."""
-        first = self.queue.get()
+        first = self._deferred.popleft() if self._deferred else self.queue.get()
         # A re-enqueued stream group runs one slice per visit.
         if isinstance(first, _StreamGroup):
             return [[first]]
-        # Streaming jobs: a FRESH request waits out the batch window for
+        # Streaming jobs: a FRESH request waits out the stream window for
         # peers to coalesce into one batched session (near-N x aggregate
-        # streaming throughput; costs at most batch_window_ms of TTFA when
-        # traffic is sparse). Mid-flight (re-enqueued) solo streams run one
-        # chunk per visit — see _run_stream_slice.
+        # streaming throughput; costs at most stream_window_ms of TTFA when
+        # traffic is sparse — see __init__). Mid-flight (re-enqueued) solo
+        # streams run one chunk per visit (_run_stream_slice). Legacy
+        # (streaming_exact=False) requests never coalesce: the batched
+        # session always runs the exact streaming vocoder, so grouping a
+        # legacy request would change its audio depending on whether a peer
+        # happened to arrive in the window.
         if isinstance(first, _StreamRequest):
-            if first._iter is not None or self.max_batch < 2:
+            if (
+                first._iter is not None
+                or self.max_batch < 2
+                or self.stream_window_s <= 0
+                or not first.options.streaming_exact
+            ):
                 return [[first]]
             group = [first]
             sig = self._stream_signature(first)
-            deadline = time.monotonic() + self.batch_window_s
+            deadline = time.monotonic() + self.stream_window_s
             while len(group) < self.max_batch:
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
@@ -190,8 +215,9 @@ class BatchingEngine:
                 ):
                     group.append(nxt)
                 else:
-                    # Runs after this group; keep FIFO by re-queueing.
-                    self.queue.put(nxt)
+                    # Belongs to a different group: runs immediately after
+                    # this one (FIFO position preserved via _deferred).
+                    self._deferred.append(nxt)
                     break
             if len(group) == 1:
                 return [[first]]
@@ -212,9 +238,12 @@ class BatchingEngine:
                 nxt = self.queue.get(timeout=remaining)
             except queue.Empty:
                 break
-            if isinstance(nxt, _StreamRequest):
-                # Runs solo after this batch; keep FIFO by re-queueing.
-                self.queue.put(nxt)
+            if isinstance(nxt, (_StreamRequest, _StreamGroup)):
+                # A stream job (solo or a re-enqueued mid-flight group) must
+                # not join a non-streaming batch — it has no batch options
+                # signature. It runs immediately after this batch (FIFO
+                # position preserved via _deferred).
+                self._deferred.append(nxt)
                 break
             batch.append(nxt)
         groups: dict[tuple, list[_Request]] = {}
@@ -511,8 +540,9 @@ def make_handler(engine: BatchingEngine, model):
 
 
 def serve(model, host: str = "127.0.0.1", port: int = 8000, max_batch: int = 8,
-          batch_window_ms: float = 30.0) -> ThreadingHTTPServer:
-    engine = BatchingEngine(model, max_batch, batch_window_ms)
+          batch_window_ms: float = 30.0,
+          stream_window_ms: float | None = None) -> ThreadingHTTPServer:
+    engine = BatchingEngine(model, max_batch, batch_window_ms, stream_window_ms)
     server = ThreadingHTTPServer((host, port), make_handler(engine, model))
     return server
 
@@ -524,6 +554,11 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--batch-window-ms", type=float, default=30.0)
+    ap.add_argument("--stream-window-ms", type=float, default=None,
+                    help="How long a fresh streaming request waits for peers "
+                         "to coalesce into one batched session (default: the "
+                         "batch window). 0 disables stream coalescing and "
+                         "removes the wait from solo-stream TTFA.")
     ap.add_argument("--int8", action="store_true",
                     help="Weight-only int8 + streaming kernels for "
                          "single-stream requests (batched requests fall "
@@ -535,7 +570,8 @@ def main(argv=None):
 
     model = Qwen3TTS.from_pretrained(args.model_dir, quantize_int8=args.int8)
     logger.info("loaded %s; serving on %s:%d", model.config.label, args.host, args.port)
-    server = serve(model, args.host, args.port, args.max_batch, args.batch_window_ms)
+    server = serve(model, args.host, args.port, args.max_batch,
+                   args.batch_window_ms, args.stream_window_ms)
     server.serve_forever()
 
 

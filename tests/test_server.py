@@ -2,6 +2,7 @@
 
 import json
 import threading
+import time
 import urllib.request
 
 import pytest
@@ -321,6 +322,178 @@ def test_mismatched_streams_not_grouped():
     out1, out2 = _drain_stream(r1), _drain_stream(r2)
     assert not batch_calls  # ran as two solo sessions
     assert len(out1) > 0 and len(out2) > 0
+
+
+def _engine_no_worker(model=None, max_batch=4, batch_window_ms=50.0,
+                      stream_window_ms=None):
+    """BatchingEngine with fields initialized but NO worker thread, so
+    _collect can be unit-tested deterministically against a hand-built
+    queue."""
+    from collections import deque
+
+    e = srv.BatchingEngine.__new__(srv.BatchingEngine)
+    e.model = model
+    e.max_batch = max_batch
+    e.batch_window_s = batch_window_ms / 1e3
+    e.stream_window_s = (
+        e.batch_window_s if stream_window_ms is None else stream_window_ms / 1e3
+    )
+    import queue as queue_mod
+
+    e.queue = queue_mod.Queue()
+    e._deferred = deque()
+    return e
+
+
+def test_collect_defers_stream_group_from_batch_window():
+    """ADVICE r3 (high): a mid-flight _StreamGroup popped during a
+    non-streaming batch window must be deferred (it has no .options), not
+    appended to the batch — pre-fix this raised AttributeError in
+    _options_signature and killed the engine worker."""
+    from qwen3_tts_tpu.pipeline import SynthesisOptions
+
+    eng = _engine_no_worker(batch_window_ms=200)
+    breq = srv._Request("batch job", "ryan", "english", SynthesisOptions(max_length=4))
+    sreq = srv._StreamRequest("s", "ryan", "english", SynthesisOptions(max_length=4))
+    grp = srv._StreamGroup(reqs=[sreq], frames_pushed=[0], alive=[True])
+    later = srv._Request("later", "ryan", "english", SynthesisOptions(max_length=4))
+    eng.queue.put(breq)
+    eng.queue.put(grp)
+    eng.queue.put(later)
+
+    groups = eng._collect()
+    assert groups == [[breq]]
+    # The group kept its FIFO position: it runs on the NEXT visit, before
+    # "later" which arrived after it.
+    assert list(eng._deferred) == [grp]
+    nxt = eng._collect()
+    assert nxt == [[grp]]
+    assert eng._collect() == [[later]]
+
+
+def test_collect_defers_solo_stream_fifo():
+    """ADVICE r3 (low): an item displaced from a collection window runs
+    immediately after the group (FIFO preserved), not at the queue tail."""
+    from qwen3_tts_tpu.pipeline import SynthesisOptions
+
+    eng = _engine_no_worker(batch_window_ms=200, stream_window_ms=200)
+    s1 = srv._StreamRequest("a", "ryan", "english",
+                            SynthesisOptions(max_length=4, chunk_frames=2))
+    b1 = srv._Request("b", "ryan", "english", SynthesisOptions(max_length=4))
+    s2 = srv._StreamRequest("c", "ryan", "english",
+                            SynthesisOptions(max_length=4, chunk_frames=2))
+    eng.queue.put(s1)
+    eng.queue.put(b1)  # displaced from s1's stream window
+    eng.queue.put(s2)
+
+    assert eng._collect() == [[s1]]  # solo: b1 broke the coalesce loop
+    assert eng._collect() == [[b1]]  # ...but b1 still runs before s2
+    assert eng._collect() == [[s2]]
+
+
+def test_collect_stream_window_zero_disables_coalescing():
+    """ADVICE r3 (low): stream_window_ms=0 starts fresh streams immediately
+    (no TTFA tax) — no peer wait, no batched session."""
+    from qwen3_tts_tpu.pipeline import SynthesisOptions
+
+    eng = _engine_no_worker(stream_window_ms=0)
+    s1 = srv._StreamRequest("a", "ryan", "english", SynthesisOptions(max_length=4))
+    s2 = srv._StreamRequest("b", "ryan", "english", SynthesisOptions(max_length=4))
+    eng.queue.put(s1)
+    eng.queue.put(s2)
+    t0 = time.monotonic()
+    assert eng._collect() == [[s1]]
+    assert time.monotonic() - t0 < 0.5  # did not wait out any window
+    assert eng._collect() == [[s2]]
+
+
+def test_legacy_streaming_exact_false_never_coalesces():
+    """ADVICE r3 (low): streaming_exact=False requests run solo (the batched
+    session always uses the exact streaming vocoder, so coalescing a legacy
+    request would change its audio depending on peer arrival)."""
+    import numpy as np
+
+    from qwen3_tts_tpu.pipeline import SynthesisOptions
+
+    model = tp.tiny_model()
+    batch_calls = []
+    orig = model.synthesize_streaming_batch
+    model.synthesize_streaming_batch = lambda *a, **k: (
+        batch_calls.append(1) or orig(*a, **k)
+    )
+
+    engine = srv.BatchingEngine(model, max_batch=4, batch_window_ms=200)
+    opts = dict(max_length=4, chunk_frames=2, streaming_exact=False)
+    r1 = srv._StreamRequest("one", "ryan", "english",
+                            SynthesisOptions(seed=1, **opts))
+    r2 = srv._StreamRequest("two", "ryan", "english",
+                            SynthesisOptions(seed=2, **opts))
+    engine.submit_stream(r1)
+    engine.submit_stream(r2)
+    out1, out2 = _drain_stream(r1), _drain_stream(r2)
+    assert not batch_calls  # ran as two solo legacy sessions
+    assert len(out1) > 0 and len(out2) > 0
+    # Solo legacy audio is what a standalone legacy session produces.
+    solo = model.synthesize_streaming(
+        "one", "ryan", "english", SynthesisOptions(seed=1, **opts)
+    )
+    ref = np.concatenate([np.asarray(c.samples) for c in solo])
+    np.testing.assert_allclose(out1, ref, rtol=0, atol=2e-6)
+
+
+def test_mixed_traffic_batch_during_stream_group():
+    """End-to-end ADVICE r3 (high) regression: a non-streaming request
+    arriving while a coalesced stream group is mid-flight must complete, and
+    the group's streams must keep streaming to EOS (pre-fix the engine
+    worker died and everything hung)."""
+    import numpy as np
+
+    from qwen3_tts_tpu.pipeline import SynthesisOptions
+
+    model = tp.tiny_model()
+    engine = srv.BatchingEngine(model, max_batch=4, batch_window_ms=100)
+
+    gate = threading.Event()
+    slices = [0]
+    real_slice = engine._run_stream_group_slice
+
+    def spy_slice(grp):
+        slices[0] += 1
+        if slices[0] == 2:
+            # Hold the worker at the second group slice until the batch
+            # request is queued, so the pop order below is deterministic:
+            # after this slice the queue is [batch_req, group].
+            gate.wait(30)
+        real_slice(grp)
+
+    engine._run_stream_group_slice = spy_slice
+
+    opts = SynthesisOptions(max_length=8, seed=5, chunk_frames=2)
+    r1 = srv._StreamRequest("stream one", "ryan", "english", opts)
+    r2 = srv._StreamRequest(
+        "stream two", "ryan", "english",
+        SynthesisOptions(max_length=8, seed=9, chunk_frames=2),
+    )
+    engine.submit_stream(r1)
+    engine.submit_stream(r2)
+    # Wait for the first chunks (group formed + first slice done).
+    first1 = r1.chunks.get(timeout=120)
+    assert isinstance(first1, np.ndarray)
+
+    breq = srv._Request(
+        "quick job", "ryan", "english", SynthesisOptions(max_length=4, seed=6)
+    )
+    engine.queue.put(breq)
+    gate.set()
+    assert breq.done.wait(120)
+    assert breq.error is None and breq.result is not None
+
+    rest1 = _drain_stream(r1)
+    rest2 = _drain_stream(r2)
+    total1 = np.concatenate([first1, rest1])
+    a1 = model.synthesize_with_voice("stream one", options=opts)
+    assert len(total1) == len(a1.samples)
+    assert len(rest2) > 0
 
 
 def test_streaming_time_slices_interleave_with_batch():
