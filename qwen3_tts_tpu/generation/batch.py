@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.config import CodePredictorConfig, TalkerConfig
-from ..ops import sampling
+from ..ops import quant, sampling
 from . import core, prefill
 
 # vmap axes: params shared (None), per-utterance tensors batched (0).
@@ -28,15 +28,18 @@ _batched_prefill_cv = jax.vmap(
     in_axes=(None, None, None, 0, 0, 0, 0, 0, 0, None),
 )
 
+# The unscoped impl with mesh closed to None: the batch entry points below
+# own the Pallas-dequant trace scope (their ``mesh`` static arg), and the
+# per-chip tp kernels are batch-1-only regardless (tp_plane_mode).
 _batched_generate = jax.vmap(
-    core.generate_frames,
+    partial(core._generate_frames, mesh=None),
     in_axes=(None, None, None, None, None, 0, 0, 0, None, 0, None),
 )
 
 
 @partial(
     jax.jit,
-    static_argnames=("tcfg", "scfg", "max_new_tokens"),
+    static_argnames=("tcfg", "scfg", "max_new_tokens", "mesh"),
     donate_argnames=("caches",),
 )
 def prefill_custom_voice_batch(
@@ -50,25 +53,27 @@ def prefill_custom_voice_batch(
     caches,  # KVCache with leading batch axis on k/v
     uniforms: jnp.ndarray,  # [B, max_new + 1]
     max_new_tokens: int,
+    mesh=None,
 ):
     """Returns (batched GenState, trailing [B, Tb, H], trailing_lens [B], pad)."""
-    return _batched_prefill_cv(
-        talker_params,
-        tcfg,
-        scfg,
-        text_ids,
-        text_lens,
-        speaker_ids,
-        lang_ids,
-        caches,
-        uniforms,
-        max_new_tokens,
-    )
+    with quant.pallas_dequant_scope(mesh is None):
+        return _batched_prefill_cv(
+            talker_params,
+            tcfg,
+            scfg,
+            text_ids,
+            text_lens,
+            speaker_ids,
+            lang_ids,
+            caches,
+            uniforms,
+            max_new_tokens,
+        )
 
 
 @partial(
     jax.jit,
-    static_argnames=("tcfg", "cpcfg", "scfg"),
+    static_argnames=("tcfg", "cpcfg", "scfg", "mesh"),
     donate_argnames=("states",),
 )
 def generate_frames_batch(
@@ -83,6 +88,7 @@ def generate_frames_batch(
     pad_embed: jnp.ndarray,  # [H] (shared)
     uniforms: jnp.ndarray,  # [B, max_new + 1]
     frame_limit: jnp.ndarray,  # [] shared
+    mesh=None,
 ) -> core.GenState:
     from dataclasses import replace
 
@@ -90,21 +96,28 @@ def generate_frames_batch(
     # selector lowers to compute-ALL-branches, which would read ~2x the
     # cache instead of less (ops/nn.py LayerStackConfig.decode_tiering).
     tcfg = replace(tcfg, decode_tiering=False)
-    # The streaming whole-step kernels (manual DMA, aliased HBM caches) are
-    # strictly batch-1; strip the packs so vmapped streams use the generic
-    # fused/XLA paths.
-    talker_params = {k: v for k, v in talker_params.items() if k != "stream_pack"}
-    cp_params = {k: v for k, v in cp_params.items() if k != "stream_pack"}
-    return _batched_generate(
-        talker_params,
-        cp_params,
-        tcfg,
-        cpcfg,
-        scfg,
-        states,
-        trailing,
-        trailing_lens,
-        pad_embed,
-        uniforms,
-        frame_limit,
-    )
+    # The streaming whole-step kernels (manual DMA, aliased HBM caches) and
+    # the per-chip tp kernels are strictly batch-1; strip the packs so
+    # vmapped streams use the generic fused/XLA paths.
+    talker_params = {
+        k: v for k, v in talker_params.items()
+        if k not in ("stream_pack", "tp_pack")
+    }
+    cp_params = {
+        k: v for k, v in cp_params.items()
+        if k not in ("stream_pack", "tp_pack")
+    }
+    with quant.pallas_dequant_scope(mesh is None):
+        return _batched_generate(
+            talker_params,
+            cp_params,
+            tcfg,
+            cpcfg,
+            scfg,
+            states,
+            trailing,
+            trailing_lens,
+            pad_embed,
+            uniforms,
+            frame_limit,
+        )

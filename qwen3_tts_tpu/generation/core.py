@@ -91,12 +91,39 @@ def generate_frames(
     pad_embed: jnp.ndarray,  # [hidden] tts_pad addition after trailing
     uniforms: jnp.ndarray,  # [max_new + 1] float32 seeded uniform stream
     frame_limit: jnp.ndarray,  # [] int32: run until frame_idx reaches this
+    mesh=None,  # jax.sharding.Mesh for tp/dp serving (None = single chip)
 ) -> GenState:
     """Advance the loop until EOS or ``frame_limit`` frames exist.
 
     Non-streaming passes frame_limit = max_new_tokens; streaming re-enters
     with the returned carry and a raised limit, one chunk at a time.
+    ``mesh`` routes decode steps to the tensor-parallel kernels
+    (talker.decode_step_planes_tp) and scopes the Pallas dequant matmul off
+    for the GSPMD-sharded remainder of the program (ops/quant.py).
     """
+    from ..ops import quant
+
+    with quant.pallas_dequant_scope(mesh is None):
+        return _generate_frames(
+            talker_params, cp_params, tcfg, cpcfg, scfg, state, trailing,
+            trailing_len, pad_embed, uniforms, frame_limit, mesh,
+        )
+
+
+def _generate_frames(
+    talker_params: dict,
+    cp_params: dict,
+    tcfg: TalkerConfig,
+    cpcfg: CodePredictorConfig,
+    scfg: sampling.SamplingConfig,
+    state: GenState,
+    trailing: jnp.ndarray,
+    trailing_len: jnp.ndarray,
+    pad_embed: jnp.ndarray,
+    uniforms: jnp.ndarray,
+    frame_limit: jnp.ndarray,
+    mesh,
+) -> GenState:
     suppression = sampling.build_suppression_mask(
         state.penalty_mask.shape[0], scfg.eos_token_id
     )
@@ -104,7 +131,12 @@ def generate_frames(
     # planes across the WHOLE loop. The 5-D <-> plane reshape then happens
     # once per loop entry/exit instead of per frame (the per-step reshape
     # materialized ~0.27 ms/frame of layout copies at 1.7B).
-    plane_mode = talker.stream_plane_mode(talker_params, tcfg, state.cache)
+    # Under a serving mesh the same plane carry drives the tensor-parallel
+    # per-chip kernels instead (KV*D plane dim sharded over tp).
+    tp_mode = talker.tp_plane_mode(talker_params, tcfg, state.cache, mesh)
+    plane_mode = tp_mode or (
+        mesh is None and talker.stream_plane_mode(talker_params, tcfg, state.cache)
+    )
     if plane_mode:
         shape5 = state.cache.k.shape
         layers5, _, seq5, kv5, d5 = shape5
@@ -152,7 +184,12 @@ def generate_frames(
         ).astype(semantic_embed.dtype)[None, None, :]
         step_input = semantic_embed + acoustic_sum + text_add
 
-        if plane_mode:
+        if tp_mode:
+            hidden, logits, ck, cv = talker.decode_step_planes_tp(
+                talker_params, tcfg, step_input, s.pos, *s.cache, mesh
+            )
+            cache = (ck, cv)
+        elif plane_mode:
             hidden, logits, ck, cv = talker.decode_step_planes(
                 talker_params, tcfg, step_input, s.pos, *s.cache
             )
@@ -225,7 +262,7 @@ def prefill_and_start(
 
 @partial(
     jax.jit,
-    static_argnames=("tcfg", "cpcfg", "scfg"),
+    static_argnames=("tcfg", "cpcfg", "scfg", "mesh"),
     donate_argnames=("state",),
 )
 def generate_frames_jit(
@@ -240,6 +277,7 @@ def generate_frames_jit(
     pad_embed: jnp.ndarray,
     uniforms: jnp.ndarray,
     frame_limit: jnp.ndarray,
+    mesh=None,
 ) -> GenState:
     return generate_frames(
         talker_params,
@@ -253,4 +291,5 @@ def generate_frames_jit(
         pad_embed,
         uniforms,
         frame_limit,
+        mesh,
     )

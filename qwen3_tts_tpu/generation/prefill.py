@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..models import talker
 from ..models.config import TalkerConfig
-from ..ops import nn, sampling
+from ..ops import nn, quant, sampling
 from . import core
 
 
@@ -32,14 +32,20 @@ def _finish(
     max_new_tokens: int,
     trailing: jnp.ndarray,
     trailing_len: jnp.ndarray,
+    mesh=None,
 ):
-    last, logits, cache = talker.prefill(
-        talker_params, tcfg, prompt, prefill_len, cache
-    )
-    state = core.init_state(
-        scfg, logits, last, prefill_len, cache, uniforms, max_new_tokens
-    )
-    pad = talker.tts_pad_embed(talker_params)[0]
+    # Trace-scoped dequant routing: sharded prefill programs must not emit
+    # the non-partitionable Pallas dequant matmul (ops/quant.py). Disable
+    # is sticky, so mesh=None here never re-enables inside an outer
+    # sharded scope (the batch entry points).
+    with quant.pallas_dequant_scope(mesh is None):
+        last, logits, cache = talker.prefill(
+            talker_params, tcfg, prompt, prefill_len, cache
+        )
+        state = core.init_state(
+            scfg, logits, last, prefill_len, cache, uniforms, max_new_tokens
+        )
+        pad = talker.tts_pad_embed(talker_params)[0]
     return state, trailing, trailing_len, pad
 
 
@@ -54,6 +60,8 @@ def custom_voice_impl(
     cache: nn.KVCache,
     uniforms: jnp.ndarray,
     max_new_tokens: int,
+    *,
+    mesh=None,
 ):
     prompt = talker.build_custom_voice_prompt(
         talker_params, text_ids[0], speaker_id, lang_id
@@ -70,19 +78,20 @@ def custom_voice_impl(
         max_new_tokens,
         trailing,
         text_len,
+        mesh=mesh,
     )
 
 
 prefill_custom_voice = partial(
     jax.jit,
-    static_argnames=("tcfg", "scfg", "max_new_tokens"),
+    static_argnames=("tcfg", "scfg", "max_new_tokens", "mesh"),
     donate_argnames=("cache",),
 )(custom_voice_impl)
 
 
 @partial(
     jax.jit,
-    static_argnames=("tcfg", "scfg", "max_new_tokens"),
+    static_argnames=("tcfg", "scfg", "max_new_tokens", "mesh"),
     donate_argnames=("cache",),
 )
 def prefill_voice_design(
@@ -97,6 +106,8 @@ def prefill_voice_design(
     cache: nn.KVCache,
     uniforms: jnp.ndarray,
     max_new_tokens: int,
+    *,
+    mesh=None,
 ):
     ib = instruct_ids.shape[0]
     instruct_emb = talker.embed_text(talker_params, instruct_ids)  # [Ib, H]
@@ -117,12 +128,13 @@ def prefill_voice_design(
         max_new_tokens,
         trailing,
         text_len,
+        mesh=mesh,
     )
 
 
 @partial(
     jax.jit,
-    static_argnames=("tcfg", "scfg", "max_new_tokens"),
+    static_argnames=("tcfg", "scfg", "max_new_tokens", "mesh"),
     donate_argnames=("cache",),
 )
 def prefill_voice_clone_xvector(
@@ -136,6 +148,8 @@ def prefill_voice_clone_xvector(
     cache: nn.KVCache,
     uniforms: jnp.ndarray,
     max_new_tokens: int,
+    *,
+    mesh=None,
 ):
     prompt = talker.build_voice_clone_prompt(
         talker_params, text_ids[0], speaker_embed, lang_id, icl_mode=False
@@ -152,12 +166,13 @@ def prefill_voice_clone_xvector(
         max_new_tokens,
         trailing,
         text_len,
+        mesh=mesh,
     )
 
 
 @partial(
     jax.jit,
-    static_argnames=("tcfg", "scfg", "max_new_tokens", "sequential"),
+    static_argnames=("tcfg", "scfg", "max_new_tokens", "sequential", "mesh"),
     donate_argnames=("cache",),
 )
 def prefill_voice_clone_icl(
@@ -174,6 +189,8 @@ def prefill_voice_clone_icl(
     uniforms: jnp.ndarray,
     max_new_tokens: int,
     sequential: bool = False,
+    *,
+    mesh=None,
 ):
     base = talker.build_voice_clone_prompt(
         talker_params,
@@ -205,4 +222,5 @@ def prefill_voice_clone_icl(
         max_new_tokens,
         trailing,
         trailing_len,
+        mesh=mesh,
     )

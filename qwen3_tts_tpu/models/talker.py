@@ -323,6 +323,45 @@ def decode_step_planes(
     return h, logits, ck, cv
 
 
+def tp_plane_mode(params: dict, cfg: TalkerConfig, cache: nn.KVCache, mesh) -> bool:
+    """True when decode steps run the tensor-parallel per-chip kernels
+    (ops/fused_layer.tp_decode_step): mesh attached, tp re-layout built by
+    Qwen3TTS.shard(), batch-1 serving cache. Like stream_plane_mode, the
+    cache is then carried as [L, S, KV*D] planes (KV*D tp-sharded)."""
+    return (
+        mesh is not None
+        and params.get("tp_pack") is not None
+        and cache.k.ndim == 5
+        and cache.k.shape[1] == 1
+    )
+
+
+def decode_step_planes_tp(
+    params: dict,
+    cfg: TalkerConfig,
+    step_embed: jnp.ndarray,
+    pos: jnp.ndarray,
+    ck: jnp.ndarray,  # [L, S, KV*D] (KV*D tp-sharded)
+    cv: jnp.ndarray,
+    mesh,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One tensor-parallel generation step on plane-form caches.
+
+    Per-chip fused kernels with psums between sub-layers (Megatron-style
+    TP, new design beyond the strictly single-device reference,
+    src/lib.rs:169-172). Returns (normed hidden, logits, ck, cv)."""
+    stack_cfg = cfg.layer_stack()
+    inv_freq = nn.rope_inv_freq(stack_cfg.head_dim, stack_cfg.rope_theta)
+    cos_row, sin_row = nn.rope_cos_sin(pos.astype(jnp.float32)[None], inv_freq)
+    h, ck, cv = fused_layer.tp_decode_step(
+        params["layers"], params["tp_pack"], step_embed, stack_cfg,
+        ck, cv, pos, cos_row, sin_row, mesh,
+    )
+    h = nn.rms_norm(h, params["norm"], cfg.rms_norm_eps)
+    logits = codec_logits(params, h)[:, 0, :]
+    return h, logits, ck, cv
+
+
 def decode_step(
     params: dict,
     cfg: TalkerConfig,

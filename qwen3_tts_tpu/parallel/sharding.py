@@ -130,7 +130,19 @@ def talker_specs(cfg: TalkerConfig, params: dict | None = None) -> dict:
     }
     if params is not None and "stream_pack" in params:
         specs["stream_pack"] = jax.tree.map(lambda _: P(), params["stream_pack"])
+    if params is not None and "tp_pack" in params:
+        specs["tp_pack"] = tp_pack_specs()
     return specs
+
+
+def tp_pack_specs() -> dict:
+    """Specs for the head-aligned qkv/gateup re-layout (fused_layer.make_tp_pack):
+    column-sharded q8 with the per-output-channel scale sharded alongside.
+    The permutation makes chunk i of the concat exactly chip i's
+    (q_i|k_i|v_i) / (gate_i|up_i), so plain "tp" column chunking is the
+    correct head sharding."""
+    col = {"q8": P(None, None, "tp"), "scale": P(None, "tp")}
+    return {"qkv": dict(col), "gu": dict(col)}
 
 
 def code_predictor_specs(cfg: CodePredictorConfig, params: dict | None = None) -> dict:

@@ -135,6 +135,29 @@ ICL_FRAMES_PER_TOKEN = 6
 ICL_MIN_REPETITION_PENALTY = 1.5
 
 
+def _sidecar_config(path: Path, cls):
+    """Load a dataclass config from a JSON sidecar file, or None if absent.
+
+    Unknown keys are rejected (typo safety); JSON lists are coerced to
+    tuples where the dataclass default is a tuple (e.g. Mimi ratios).
+    """
+    if not path.exists():
+        return None
+    import dataclasses
+    import json as _json
+
+    data = _json.loads(path.read_text())
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    unknown = set(data) - set(fields)
+    if unknown:
+        raise ValueError(f"{path}: unknown {cls.__name__} fields {sorted(unknown)}")
+    coerced = {
+        k: tuple(v) if isinstance(v, list) else v for k, v in data.items()
+    }
+    logger.info("Loaded %s override from %s", cls.__name__, path)
+    return cls(**coerced)
+
+
 class Qwen3TTS:
     """End-to-end TTS pipeline on TPU."""
 
@@ -251,31 +274,38 @@ class Qwen3TTS:
         inserts the psums on the row-parallel matmuls. ``synthesize_batch``
         additionally shards the utterance batch over ``dp``.
 
-        The single-chip Pallas stream kernels (manual-DMA custom calls) are
-        not GSPMD-partitionable, so any stream packs are dropped here — the
-        multi-chip compute path is the XLA layer scan, where tp divides the
-        per-chip weight streaming that the packs exist to optimize.
+        The single-chip whole-step stream kernels (manual-DMA custom calls
+        with an in-kernel residual chain) cannot span chips, so their packs
+        are dropped; int8 models get a head-aligned ``tp_pack`` re-layout
+        instead and the talker decode steps run per-chip fused kernels under
+        shard_map with psums between sub-layers
+        (ops/fused_layer.tp_decode_step). The Pallas dequant matmul is
+        scoped off per sharded program (ops/quant.pallas_dequant_scope) —
+        single-chip int8 models in the same process keep their kernels.
         New design beyond the reference, which is strictly single-device
         (src/lib.rs:169-172, SURVEY §2.3). Returns self.
         """
-        from .ops import quant as Q
+        from .ops import fused_layer as FL
         from .parallel import sharding as S
 
         for tree in (self.talker_params, self.cp_params):
             if tree.pop("stream_pack", None) is not None:
                 logger.info(
                     "shard(): dropping single-chip stream pack; multi-chip "
-                    "uses the GSPMD layer-scan path."
+                    "talker decode uses the per-chip tp kernels."
                 )
-        if Q.is_quantized(self.talker_params.get("codec_head")) or Q.is_quantized(
-            self.cp_params["layers"].get("qkv_proj")
-        ):
-            # GSPMD cannot partition the Pallas dequant matmul; the
-            # dequant-then-dot fallback shards cleanly with the weight specs.
-            # (Process-global switch: mixing sharded-int8 and single-chip-int8
-            # models in one process would lose the kernel for the latter.)
-            Q.set_pallas_enabled(False)
-            logger.info("shard(): int8 model — using the shardable dequant path.")
+        tp = mesh.shape.get("tp", 1)
+        if tp > 1:
+            tpack = FL.make_tp_pack(
+                self.talker_params["layers"], self.config.talker.layer_stack(), tp
+            )
+            if tpack is not None:
+                self.talker_params = dict(self.talker_params)
+                self.talker_params["tp_pack"] = tpack
+                logger.info(
+                    "shard(): int8 talker — per-chip tp kernels enabled "
+                    "(head-aligned qkv/gateup re-layout, tp=%d).", tp
+                )
         self.talker_params = S.shard_pytree(
             self.talker_params,
             S.talker_specs(self.config.talker, self.talker_params),
@@ -309,15 +339,28 @@ class Qwen3TTS:
         model.safetensors + speech_tokenizer/model.safetensors).
 
         ``vocoder_config``/``mimi_config`` default to the production 12 Hz
-        speech-tokenizer dimensions; override for non-standard checkpoints.
+        speech-tokenizer dimensions; override for non-standard checkpoints
+        either via these arguments or via ``vocoder_config.json`` /
+        ``mimi_config.json`` sidecar files in ``model_dir`` (written by
+        scripts/make_synthetic_ckpt.py; absent from production checkpoints).
         ``dtype`` is the talker/code-predictor compute dtype — bf16 for TPU
         serving (the reference's CUDA/Metal policy), f32 for CPU numerics
         parity (the reference's CPU policy, src/lib.rs:1436).
         ``mesh``: optional ``jax.sharding.Mesh`` — the model is sharded for
         tp/dp serving at load time (see :meth:`shard`).
         """
-        vocoder_config = vocoder_config or vocoder.VocoderConfig()
         model_dir = Path(model_dir)
+        if vocoder_config is None:
+            vocoder_config = _sidecar_config(
+                model_dir / "vocoder_config.json", vocoder.VocoderConfig
+            )
+        if mimi_config is None:
+            from .models.codec.encoder import MimiEncoderConfig
+
+            mimi_config = _sidecar_config(
+                model_dir / "mimi_config.json", MimiEncoderConfig
+            )
+        vocoder_config = vocoder_config or vocoder.VocoderConfig()
         config_path = model_dir / "config.json"
         raw = W.load_safetensors(model_dir / "model.safetensors")
 
@@ -522,6 +565,7 @@ class Qwen3TTS:
             cache,
             uniforms,
             max_new_bucket,
+            mesh=self.mesh,
         )
         return self._make_session(started, options, uniforms)
 
@@ -550,6 +594,7 @@ class Qwen3TTS:
             cache,
             uniforms,
             max_new_bucket,
+            mesh=self.mesh,
         )
         return self._make_session(started, options, uniforms)
 
@@ -595,6 +640,7 @@ class Qwen3TTS:
                 cache,
                 uniforms,
                 max_new_bucket,
+                mesh=self.mesh,
             )
             return self._make_session(started, options, uniforms), 0
 
@@ -632,6 +678,7 @@ class Qwen3TTS:
             uniforms,
             max_new_bucket,
             sequential=options.icl_sequential,
+            mesh=self.mesh,
         )
         return self._make_session(started, options, uniforms), t_ref
 
@@ -748,6 +795,7 @@ class Qwen3TTS:
             pad_embed,
             uniforms,
             jnp.int32(options.max_length),
+            mesh=self.mesh,
         )
         frames, counts = jax.device_get((states.frames, states.frame_idx))
         counts = np.asarray(counts)
@@ -857,6 +905,7 @@ class Qwen3TTS:
             caches,
             uniforms,
             max_new_bucket,
+            mesh=self.mesh,
         )
         return states, trailing, trailing_lens, pads[0], uniforms, scfg
 
@@ -1067,7 +1116,7 @@ class Qwen3TTS:
 
 @partial(
     jax.jit,
-    static_argnames=("tcfg", "cpcfg", "scfg", "vcfg", "chunk"),
+    static_argnames=("tcfg", "cpcfg", "scfg", "vcfg", "chunk", "mesh"),
     donate_argnames=("state",),
 )
 def _advance_and_decode_chunk(
@@ -1086,6 +1135,7 @@ def _advance_and_decode_chunk(
     frame_limit,
     emitted,
     chunk: int,
+    mesh=None,
 ):
     """One streaming chunk as a SINGLE device program.
 
@@ -1099,7 +1149,7 @@ def _advance_and_decode_chunk(
     """
     state = core.generate_frames(
         talker_params, cp_params, tcfg, cpcfg, scfg, state,
-        trailing, trailing_len, pad_embed, uniforms, frame_limit,
+        trailing, trailing_len, pad_embed, uniforms, frame_limit, mesh,
     )
     rows = jax.lax.dynamic_slice(
         state.frames, (emitted, 0), (chunk, state.frames.shape[1])
@@ -1110,7 +1160,7 @@ def _advance_and_decode_chunk(
 
 @partial(
     jax.jit,
-    static_argnames=("tcfg", "cpcfg", "scfg", "vcfg", "chunk"),
+    static_argnames=("tcfg", "cpcfg", "scfg", "vcfg", "chunk", "mesh"),
     donate_argnames=("state", "vstate"),
 )
 def _advance_and_decode_chunk_exact(
@@ -1130,6 +1180,7 @@ def _advance_and_decode_chunk_exact(
     frame_limit,
     emitted,
     chunk: int,
+    mesh=None,
 ):
     """Streaming chunk with SAMPLE-EXACT decode, one device program.
 
@@ -1141,7 +1192,7 @@ def _advance_and_decode_chunk_exact(
     """
     state = core.generate_frames(
         talker_params, cp_params, tcfg, cpcfg, scfg, state,
-        trailing, trailing_len, pad_embed, uniforms, frame_limit,
+        trailing, trailing_len, pad_embed, uniforms, frame_limit, mesh,
     )
     frames_ext = jnp.concatenate(
         [state.frames, jnp.zeros((chunk, state.frames.shape[1]), state.frames.dtype)]
@@ -1155,7 +1206,7 @@ def _advance_and_decode_chunk_exact(
 
 @partial(
     jax.jit,
-    static_argnames=("tcfg", "cpcfg", "scfg", "vcfg", "chunk"),
+    static_argnames=("tcfg", "cpcfg", "scfg", "vcfg", "chunk", "mesh"),
     donate_argnames=("states", "vstate"),
 )
 def _advance_and_decode_chunk_batch(
@@ -1175,6 +1226,7 @@ def _advance_and_decode_chunk_batch(
     frame_limit,
     emitted,
     chunk: int,
+    mesh=None,
 ):
     """One streaming chunk for a BATCH of streams, as a single device program.
 
@@ -1192,13 +1244,22 @@ def _advance_and_decode_chunk_batch(
     # Same vmap constraints as generate_frames_batch: tiered decode attention
     # off (batched lax.switch computes all branches) and no batch-1 whole-step
     # stream kernels.
+    from .ops import quant as _Q
+
     tcfg = replace(tcfg, decode_tiering=False)
-    talker_params = {k: v for k, v in talker_params.items() if k != "stream_pack"}
-    cp_params = {k: v for k, v in cp_params.items() if k != "stream_pack"}
-    states = gbatch._batched_generate(
-        talker_params, cp_params, tcfg, cpcfg, scfg, states,
-        trailing, trailing_lens, pad_embed, uniforms, frame_limit,
-    )
+    talker_params = {
+        k: v for k, v in talker_params.items()
+        if k not in ("stream_pack", "tp_pack")
+    }
+    cp_params = {
+        k: v for k, v in cp_params.items()
+        if k not in ("stream_pack", "tp_pack")
+    }
+    with _Q.pallas_dequant_scope(mesh is None):
+        states = gbatch._batched_generate(
+            talker_params, cp_params, tcfg, cpcfg, scfg, states,
+            trailing, trailing_lens, pad_embed, uniforms, frame_limit,
+        )
     b, _, n_codes = states.frames.shape
     frames_ext = jnp.concatenate(
         [states.frames, jnp.zeros((b, chunk, n_codes), states.frames.dtype)], axis=1
@@ -1264,6 +1325,7 @@ class StreamingSession:
             self.pad_embed,
             self.uniforms,
             jnp.int32(frame_limit),
+            mesh=self.model.mesh,
         )
 
     def _grow(self, new_cap: int) -> None:
@@ -1374,6 +1436,7 @@ class StreamingSession:
                 jnp.int32(target),
                 jnp.int32(emitted),
                 chunk,
+                mesh=self.model.mesh,
             )
         )
         return wav_dev, n_dev, done_dev
@@ -1604,6 +1667,7 @@ class StreamingSession:
                     jnp.int32(target),
                     jnp.int32(self.frames_emitted),
                     chunk,
+                    mesh=self.model.mesh,
                 )
                 wav, n, done = jax.device_get((wav_dev, n_dev, done_dev))
                 frames = None
@@ -1744,6 +1808,7 @@ class StreamingBatchSession:
                 jnp.int32(target),
                 jnp.int32(self._spec_frontier),
                 chunk,
+                mesh=self.model.mesh,
             )
         )
         self._pending.append((self._spec_frontier, chunk, wav_dev, n_dev, done_dev))

