@@ -2,7 +2,7 @@
 
 PY ?= python
 
-.PHONY: test test-fast native bench bench-e2e bench-micro audit variants parity clean
+.PHONY: test test-fast native bench bench-e2e bench-micro audit variants parity parity-drill clean
 
 test: native
 	$(PY) -m pytest tests/ -q
@@ -30,16 +30,28 @@ variants:
 
 # Tier-3 validation, one command (VERDICT r1 item 2): torch-oracle golden
 # dump -> golden tests -> quality check -> variant matrix. Needs MODEL_DIR
-# pointing at a real checkpoint.
+# pointing at a real checkpoint. QC_FLAGS/CLI_FLAGS exist for the synthetic
+# drill below (random weights can't meet the production audio gates).
+QC_FLAGS ?=
+CLI_FLAGS ?=
 parity: native
 	@test -n "$(MODEL_DIR)" || (echo "usage: make parity MODEL_DIR=/path/to/ckpt"; exit 1)
 	$(PY) scripts/dump_reference_values.py --model-dir $(MODEL_DIR) --seed 42
 	$(PY) -m pytest tests/test_reference_golden.py -q
 	$(PY) -m qwen3_tts_tpu --model-dir $(MODEL_DIR) --text "parity check run" \
-		--seed 42 --output /tmp/parity_check.wav
-	$(PY) scripts/quality_check.py /tmp/parity_check.wav
+		--seed 42 --output /tmp/parity_check.wav $(CLI_FLAGS)
+	$(PY) scripts/quality_check.py /tmp/parity_check.wav $(QC_FLAGS)
 	$(PY) scripts/test_variants.py --ckpt $(MODEL_DIR)
 	$(PY) scripts/quant_report.py --model-dir $(MODEL_DIR) --out /tmp/quant_report.json
+
+# Checkpoint-landing drill: prove the full `make parity` chain end-to-end on
+# a synthetic checkpoint (CPU; lenient audio gates since the weights are
+# random noise). CI-runnable with no checkpoint or TPU access.
+parity-drill: native
+	$(PY) scripts/make_synthetic_ckpt.py --out /tmp/qwen3_synth_ckpt
+	QWEN3_TTS_PLATFORM=cpu $(MAKE) parity MODEL_DIR=/tmp/qwen3_synth_ckpt \
+		CLI_FLAGS="--min-new-tokens 12 --frames 24" \
+		QC_FLAGS="--min-rms 0 --max-clipping 1 --max-leading-silence 99 --max-dc 1"
 
 profile-trace:
 	$(PY) -m qwen3_tts_tpu --model-dir $(MODEL_DIR) --text "profile me" \

@@ -8,6 +8,17 @@ Base / CustomVoice, 1.7B VoiceDesign) are supported, including x-vector and
 ICL voice cloning and chunked streaming synthesis.
 """
 
+import os as _os
+
+if _os.environ.get("QWEN3_TTS_PLATFORM"):
+    # Explicit backend pin (e.g. QWEN3_TTS_PLATFORM=cpu for the parity drill
+    # or CI). Needed because this environment's sitecustomize re-pins
+    # JAX_PLATFORMS at interpreter startup, so the plain env var cannot be
+    # overridden from a shell; jax.config still can be, pre-backend-init.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["QWEN3_TTS_PLATFORM"])
+
 from .audio.io import AudioBuffer, load_wav, save_wav
 from .audio.resample import resample, resample_to_24k
 from .models import tokens

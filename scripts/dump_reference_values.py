@@ -146,6 +146,10 @@ def main(argv=None) -> int:
     from qwen3_tts_tpu.tokenizer import TextTokenizer
 
     model_dir = Path(args.model_dir)
+    if args.vocoder_json is None and (model_dir / "vocoder_config.json").exists():
+        # Sidecar written by scripts/make_synthetic_ckpt.py (absent from
+        # production checkpoints) — same auto-detection as from_pretrained.
+        args.vocoder_json = str(model_dir / "vocoder_config.json")
     cfg = parse_config_json(model_dir / "config.json")
     print(f"checkpoint: {cfg.label}", file=sys.stderr)
     w = load_file(model_dir / "model.safetensors")

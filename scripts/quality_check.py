@@ -28,6 +28,7 @@ def check_wav(
     min_rms: float = 0.005,
     max_clipping: float = 0.01,
     max_leading_silence: float = 2.0,
+    max_dc: float = 0.02,
 ) -> dict:
     buf = load_wav(path)
     x = buf.samples
@@ -57,7 +58,7 @@ def check_wav(
         failures.append(f"clipping: {clipping:.2%} of samples")
     if lead > max_leading_silence:
         failures.append(f"leading silence {lead:.2f}s")
-    if abs(dc) > 0.02:
+    if abs(dc) > max_dc:
         failures.append(f"dc offset {dc:.3f}")
 
     return {
@@ -79,6 +80,9 @@ def main():
     ap.add_argument("paths", nargs="+", help="WAV files or directories")
     ap.add_argument("--min-rms", type=float, default=0.005)
     ap.add_argument("--max-clipping", type=float, default=0.01)
+    ap.add_argument("--min-duration", type=float, default=0.3)
+    ap.add_argument("--max-leading-silence", type=float, default=2.0)
+    ap.add_argument("--max-dc", type=float, default=0.02)
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
 
@@ -89,7 +93,14 @@ def main():
         raise SystemExit("no WAV files found")
 
     reports = [
-        check_wav(f, min_rms=args.min_rms, max_clipping=args.max_clipping)
+        check_wav(
+            f,
+            min_duration=args.min_duration,
+            min_rms=args.min_rms,
+            max_clipping=args.max_clipping,
+            max_leading_silence=args.max_leading_silence,
+            max_dc=args.max_dc,
+        )
         for f in files
     ]
     if args.json:
