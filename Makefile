@@ -25,6 +25,9 @@ bench-micro: native
 audit:
 	$(PY) scripts/audit_host_syncs.py
 
+render-docs:
+	$(PY) scripts/render_bench_docs.py
+
 variants:
 	$(PY) scripts/test_variants.py
 

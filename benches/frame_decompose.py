@@ -37,6 +37,10 @@ def main():
     # 288 = pipeline._new_cache(10, 256) rounded to the 16-row sublane tile.
     ap.add_argument("--cache-rows", type=int, default=288)
     ap.add_argument("--no-int8", action="store_true")
+    ap.add_argument(
+        "--hbm-gbs", type=float, default=819.0,
+        help="HBM bandwidth for the roofline (v5e: 819 GB/s)",
+    )
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -196,10 +200,120 @@ def main():
     known = sum(results[k] for k in ("talker_ms", "cp_ms", "sampling_ms", "embed_ms"))
     results["glue_ms"] = results["full_ms"] - known
 
+    results["roofline"] = roofline(model, results, rows, args.hbm_gbs)
+
     for k, v in results.items():
+        if k == "roofline":
+            continue
         print(f"{k:<14} {v:8.3f} ms/frame")
+    print_roofline(results["roofline"], args.hbm_gbs)
     if args.json:
         Path(args.json).write_text(json.dumps(results))
+
+
+def _tree_bytes(tree) -> int:
+    import jax
+
+    return sum(l.nbytes for l in jax.tree.leaves(tree) if hasattr(l, "nbytes"))
+
+
+def roofline(model, results, rows: int, hbm_gbs: float) -> dict:
+    """Analytic HBM bytes per frame per component vs the measured time.
+
+    Batch-1 decode is weight-streaming-bound, so the physics bound for each
+    component is (bytes it must move from HBM) / (HBM bandwidth). Bytes are
+    counted from the ACTUAL arrays each mode streams:
+
+      talker  the stream-pack tiles+scales (int8 whole-step kernel) or the
+              canonical fused layer tree (bf16 XLA scan), plus the codec
+              head and the KV-cache read (2 * L * rows * KV*D * 2B bf16).
+      cp      frame kernel: VMEM-resident layers stream once per frame,
+              non-resident layers re-stream per inner step (16 steps =
+              prefill + 15 codes; ops/fused_layer.cp_resident_layers), plus
+              all 15 lm_heads (one per step) and the mtp projection.
+              Without the kernel, all layers re-stream every step.
+
+    Embedding-table row gathers and activation traffic are excluded
+    (≤ a few hundred KB/frame). ``pct_of_bound`` is bound_ms/measured_ms —
+    100% means the measured loop moves weights at full HBM bandwidth.
+    """
+    from qwen3_tts_tpu.ops import fused_layer as FL
+
+    tcfg = model.config.talker
+    cpcfg = model.config.code_predictor
+    tp, cpp = model.talker_params, model.cp_params
+
+    stack = tcfg.layer_stack()
+    kv_dim = stack.num_kv_heads * stack.head_dim
+    cache_bytes = 2 * stack.num_layers * rows * kv_dim * 2  # bf16 k+v read
+    if tp.get("stream_pack") is not None:
+        w = _tree_bytes(tp["stream_pack"]["tiles"]) + _tree_bytes(
+            tp["stream_pack"]["scales"]
+        )
+    else:
+        w = _tree_bytes(tp["layers"])
+    talker_bytes = w + _tree_bytes(tp["codec_head"]) + cache_bytes
+
+    steps = cpcfg.num_acoustic + 1
+    layers = cpcfg.num_hidden_layers
+    if cpp.get("stream_pack") is not None:
+        plb = (
+            _tree_bytes(cpp["stream_pack"]["tiles"])
+            + _tree_bytes(cpp["stream_pack"]["scales"])
+        ) / layers
+        resident = FL.cp_resident_layers(cpp, cpcfg)
+        cp_w = resident * plb + (layers - resident) * plb * steps
+    else:
+        resident = 0
+        cp_w = _tree_bytes(cpp["layers"]) * steps
+    cp_bytes = cp_w + _tree_bytes(cpp["lm_heads"]) + _tree_bytes(
+        cpp.get("mtp_proj")
+    )
+
+    def row(name, nbytes):
+        bound_ms = nbytes / (hbm_gbs * 1e9) * 1e3
+        meas = results.get(f"{name}_ms")
+        return {
+            "bytes_per_frame": int(nbytes),
+            "gb_per_frame": round(nbytes / 1e9, 3),
+            "bound_ms": round(bound_ms, 3),
+            "measured_ms": round(meas, 3) if meas else None,
+            "pct_of_bound": round(100 * bound_ms / meas, 1) if meas else None,
+        }
+
+    out = {
+        "hbm_gbs": hbm_gbs,
+        "cache_rows": rows,
+        "cp_resident_layers": resident,
+        "talker": row("talker", talker_bytes),
+        "cp": row("cp", cp_bytes),
+    }
+    total = talker_bytes + cp_bytes
+    bound = total / (hbm_gbs * 1e9) * 1e3
+    meas = results.get("full_ms")
+    out["frame"] = {
+        "bytes_per_frame": int(total),
+        "gb_per_frame": round(total / 1e9, 3),
+        "bound_ms": round(bound, 3),
+        "measured_ms": round(meas, 3) if meas else None,
+        "pct_of_bound": round(100 * bound / meas, 1) if meas else None,
+    }
+    return out
+
+
+def print_roofline(r: dict, hbm_gbs: float) -> None:
+    print(
+        f"\nroofline @ {hbm_gbs:.0f} GB/s HBM "
+        f"(cache {r['cache_rows']} rows, {r['cp_resident_layers']} CP layers resident):"
+    )
+    print(f"{'component':<10} {'GB/frame':>9} {'bound ms':>9} {'meas ms':>9} {'% bound':>8}")
+    for name in ("talker", "cp", "frame"):
+        e = r[name]
+        print(
+            f"{name:<10} {e['gb_per_frame']:>9.3f} {e['bound_ms']:>9.3f} "
+            f"{e['measured_ms'] if e['measured_ms'] is not None else float('nan'):>9.3f} "
+            f"{e['pct_of_bound'] if e['pct_of_bound'] is not None else float('nan'):>8.1f}"
+        )
 
 
 if __name__ == "__main__":
