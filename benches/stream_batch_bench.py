@@ -51,10 +51,11 @@ def main():
     model.tokenizer = WordTokenizer()
     frames = args.frames
     audio_s = frames * T.SAMPLES_PER_FRAME / T.OUTPUT_SAMPLE_RATE
+    # Production defaults: 4-frame first chunk (same as the single-stream
+    # e2e bench), so batched TTFA is comparable to the solo-session TTFA.
     opts = SynthesisOptions(
         max_length=frames, min_new_tokens=frames, seed=42,
-        chunk_frames=args.chunk, first_chunk_frames=None,
-        streaming_lookahead=1,
+        chunk_frames=args.chunk, streaming_lookahead=1,
     )
     texts = [
         f"Stream number {i} of the batched streaming throughput benchmark."

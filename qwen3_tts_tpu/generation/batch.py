@@ -56,7 +56,14 @@ def prefill_custom_voice_batch(
     mesh=None,
 ):
     """Returns (batched GenState, trailing [B, Tb, H], trailing_lens [B], pad)."""
-    with quant.pallas_dequant_scope(mesh is None):
+    # Pallas dequant is OFF in every batched program, not just sharded ones:
+    # vmap batches a pallas_call by repeating the kernel per example, so B
+    # streams would dequantize (and re-read) the full weights B times. The
+    # dequant-then-dot fallback dequantizes ONCE (weights are batch-invariant)
+    # and feeds one [B,K]x[K,N] MXU matmul — measured 27.6 -> 19.5 ms/frame
+    # at 1.7B int8 batch 8, and 7.8 -> 7.0 even at vmapped batch 1
+    # (journal R4.7).
+    with quant.pallas_dequant_scope(False):
         return _batched_prefill_cv(
             talker_params,
             tcfg,
@@ -107,7 +114,8 @@ def generate_frames_batch(
         k: v for k, v in cp_params.items()
         if k not in ("stream_pack", "tp_pack")
     }
-    with quant.pallas_dequant_scope(mesh is None):
+    # See prefill_custom_voice_batch: pallas dequant off in vmapped programs.
+    with quant.pallas_dequant_scope(False):
         return _batched_generate(
             talker_params,
             cp_params,

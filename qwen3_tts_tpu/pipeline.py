@@ -1255,7 +1255,9 @@ def _advance_and_decode_chunk_batch(
         k: v for k, v in cp_params.items()
         if k not in ("stream_pack", "tp_pack")
     }
-    with _Q.pallas_dequant_scope(mesh is None):
+    # Pallas dequant off in vmapped programs (generation/batch.py: vmap
+    # repeats the kernel per example, re-dequantizing the weights B times).
+    with _Q.pallas_dequant_scope(False):
         states = gbatch._batched_generate(
             talker_params, cp_params, tcfg, cpcfg, scfg, states,
             trailing, trailing_lens, pad_embed, uniforms, frame_limit,
