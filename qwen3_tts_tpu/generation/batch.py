@@ -13,6 +13,7 @@ stream's output is identical to its single-stream run given the same seed.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -21,6 +22,23 @@ import jax.numpy as jnp
 from ..models.config import CodePredictorConfig, TalkerConfig
 from ..ops import quant, sampling
 from . import core, prefill
+
+def _batch_pallas_dequant(mesh) -> bool:
+    """Whether batched programs trace the Pallas dequant matmul.
+
+    Default False: the int8 matmul's custom_vmap rule folds the stream axis
+    into matmul rows (ops/quant.py:_int8_mm_core_vmap) so a vmapped Pallas
+    program reads the batch-invariant weights ONCE (27.6 -> 20.0 ms/frame at
+    1.7B int8 batch 8 vs jax.vmap's repeat-the-kernel rule), but the
+    cast-fused XLA dequant dot is measured equal-or-better at every batch
+    size (19.5 at batch 8, 7.0 at batch 1 — journal R4.8), and it is the
+    only path GSPMD can partition when the weights are tp-sharded.
+    QWEN3_TTS_BATCH_PALLAS_DEQUANT=1 opts in for A/B runs (unsharded only).
+    """
+    if mesh is not None:
+        return False
+    return os.environ.get("QWEN3_TTS_BATCH_PALLAS_DEQUANT") == "1"
+
 
 # vmap axes: params shared (None), per-utterance tensors batched (0).
 _batched_prefill_cv = jax.vmap(
@@ -56,14 +74,7 @@ def prefill_custom_voice_batch(
     mesh=None,
 ):
     """Returns (batched GenState, trailing [B, Tb, H], trailing_lens [B], pad)."""
-    # Pallas dequant is OFF in every batched program, not just sharded ones:
-    # vmap batches a pallas_call by repeating the kernel per example, so B
-    # streams would dequantize (and re-read) the full weights B times. The
-    # dequant-then-dot fallback dequantizes ONCE (weights are batch-invariant)
-    # and feeds one [B,K]x[K,N] MXU matmul — measured 27.6 -> 19.5 ms/frame
-    # at 1.7B int8 batch 8, and 7.8 -> 7.0 even at vmapped batch 1
-    # (journal R4.7).
-    with quant.pallas_dequant_scope(False):
+    with quant.pallas_dequant_scope(_batch_pallas_dequant(mesh)):
         return _batched_prefill_cv(
             talker_params,
             tcfg,
@@ -114,8 +125,7 @@ def generate_frames_batch(
         k: v for k, v in cp_params.items()
         if k not in ("stream_pack", "tp_pack")
     }
-    # See prefill_custom_voice_batch: pallas dequant off in vmapped programs.
-    with quant.pallas_dequant_scope(False):
+    with quant.pallas_dequant_scope(_batch_pallas_dequant(mesh)):
         return _batched_generate(
             talker_params,
             cp_params,

@@ -119,26 +119,66 @@ def _make_pallas_matmul(m: int, k: int, n: int, out_dtype):
     )
 
 
+@jax.custom_batching.custom_vmap
+def _int8_mm_core(x2: jnp.ndarray, q8: jnp.ndarray, scale: jnp.ndarray):
+    """[m, K] @ dequant([K, N]) -> [m, N]; Pallas on TPU, fallback elsewhere."""
+    m, _ = x2.shape
+    k, n = q8.shape
+    use_pallas = _pallas_allowed() and jax.default_backend() == "tpu" and m <= 1024
+    if use_pallas:
+        fn = _make_pallas_matmul(m, k, n, x2.dtype)
+        if fn is not None:
+            return fn(
+                x2.astype(jnp.bfloat16), q8, scale.astype(jnp.float32)[None, :]
+            )
+    return _dequant_matmul_reference(x2, q8, scale)
+
+
+@_int8_mm_core.def_vmap
+def _int8_mm_core_vmap(axis_size, in_batched, x2, q8, scale):
+    """Batch by collapsing the vmap axis into matmul rows, NOT by repeating.
+
+    jax.vmap's default rule for ``pallas_call`` re-runs the kernel once per
+    batch element, so a vmapped decode loop would dequantize (and re-read
+    from HBM) the full batch-invariant weights B times per projection. The
+    weights are the bandwidth bound; reading them once is the whole point of
+    batching. When only the activations carry the batch axis we fold it into
+    the row dimension — ONE kernel, one weight read, an [B*m, K] x [K, N]
+    MXU matmul — measured 27.6 (repeated kernel) -> 20.0 ms/frame at 1.7B
+    int8 batch 8, on par with the cast-fused XLA dequant dot at 19.5
+    (journal R4.8: both read the weights once; batched programs therefore
+    default to the XLA path and this rule is the structural guard against
+    the repeat pathology wherever else vmap meets ``int8_matmul``).
+    """
+    x_b, q_b, s_b = in_batched
+    if q_b or s_b:
+        # Per-example weights (not a shape the model produces): plain vmap
+        # of the portable fallback.
+        out = jax.vmap(
+            _dequant_matmul_reference,
+            in_axes=(0 if x_b else None, 0 if q_b else None, 0 if s_b else None),
+        )(x2, q8, scale)
+        return out, True
+    if not x_b:
+        return _int8_mm_core(x2, q8, scale), False
+    b, m, _ = x2.shape
+    out = _int8_mm_core(x2.reshape(b * m, x2.shape[-1]), q8, scale)
+    return out.reshape(b, m, out.shape[-1]), True
+
+
 def int8_matmul(x: jnp.ndarray, q8: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
     """x [.., K] @ dequant(q8 [K, N]) -> [.., N].
 
     Uses the Pallas kernel on TPU (tiled VMEM dequant feeding the MXU);
-    portable dequant-then-dot elsewhere or for uncovered shapes.
+    portable dequant-then-dot elsewhere or for uncovered shapes. Under
+    ``jax.vmap`` the batch axis is folded into the row dimension (see
+    ``_int8_mm_core_vmap``), so batched programs still read each weight
+    matrix exactly once per step.
     """
     lead = x.shape[:-1]
     k, n = q8.shape
     x2 = x.reshape(-1, k)
-    m = x2.shape[0]
-
-    use_pallas = _pallas_allowed() and jax.default_backend() == "tpu" and m <= 1024
-    if use_pallas:
-        fn = _make_pallas_matmul(m, k, n, x.dtype)
-        if fn is not None:
-            out = fn(
-                x2.astype(jnp.bfloat16), q8, scale.astype(jnp.float32)[None, :]
-            )
-            return out.reshape(*lead, n)
-    return _dequant_matmul_reference(x2, q8, scale).reshape(*lead, n)
+    return _int8_mm_core(x2, q8, scale).reshape(*lead, n)
 
 
 def mm(x: jnp.ndarray, w) -> jnp.ndarray:

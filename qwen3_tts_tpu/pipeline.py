@@ -1255,9 +1255,10 @@ def _advance_and_decode_chunk_batch(
         k: v for k, v in cp_params.items()
         if k not in ("stream_pack", "tp_pack")
     }
-    # Pallas dequant off in vmapped programs (generation/batch.py: vmap
-    # repeats the kernel per example, re-dequantizing the weights B times).
-    with _Q.pallas_dequant_scope(False):
+    # Batched programs default to the XLA dequant dot (measured equal to the
+    # row-folded Pallas kernel, and the only GSPMD-partitionable path —
+    # generation/batch.py:_batch_pallas_dequant, journal R4.8).
+    with _Q.pallas_dequant_scope(gbatch._batch_pallas_dequant(mesh)):
         states = gbatch._batched_generate(
             talker_params, cp_params, tcfg, cpcfg, scfg, states,
             trailing, trailing_lens, pad_embed, uniforms, frame_limit,

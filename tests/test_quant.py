@@ -59,6 +59,53 @@ def test_quantized_generation_runs_and_is_deterministic():
     np.testing.assert_array_equal(a1.samples, a2.samples)
 
 
+def test_vmap_folds_batch_into_rows():
+    """vmapped int8_matmul must hit the row-folding custom_vmap rule.
+
+    The rule (ops/quant.py:_int8_mm_core_vmap) collapses the batch axis into
+    matmul rows so a batched program reads each weight matrix once instead
+    of jax.vmap's repeat-the-kernel default (journal R4.8). Pin (a) numeric
+    equality with per-example calls, and (b) that the batched trace contains
+    exactly ONE dot over the weights, not B.
+    """
+    rs = np.random.RandomState(4)
+    x = jnp.asarray(rs.randn(5, 2, 256).astype(np.float32))
+    w = jnp.asarray(rs.randn(256, 512).astype(np.float32) * 0.05)
+    q = quant.quantize_linear(w)
+
+    batched = jax.vmap(lambda xi: quant.mm(xi, q))(x)
+    for i in range(5):
+        # Bit-identical on TPU; CPU dots accumulate in a shape-dependent
+        # order, leaving ~1e-7 f32 noise between m=2 and folded m=10.
+        np.testing.assert_allclose(
+            np.asarray(batched[i]), np.asarray(quant.mm(x[i], q)),
+            rtol=1e-5, atol=1e-6,
+        )
+
+    jaxpr = jax.make_jaxpr(jax.vmap(lambda xi: quant.mm(xi, q)))(x)
+    dots = str(jaxpr).count("dot_general")
+    assert dots == 1, f"expected one folded dot over the weights, got {dots}"
+
+
+def test_vmap_batched_weights_fall_back():
+    """Per-example quantized weights (q8 batched) use the plain-vmap path."""
+    rs = np.random.RandomState(5)
+    x = jnp.asarray(rs.randn(3, 2, 128).astype(np.float32))
+    w = jnp.asarray(rs.randn(3, 128, 256).astype(np.float32) * 0.05)
+    qs = jax.vmap(quant.quantize_linear)(w)
+
+    batched = jax.vmap(lambda xi, q8, s: quant.int8_matmul(xi, q8, s))(
+        x, qs["q8"], qs["scale"]
+    )
+    for i in range(3):
+        np.testing.assert_allclose(
+            np.asarray(batched[i]),
+            np.asarray(quant.int8_matmul(x[i], qs["q8"][i], qs["scale"][i])),
+            rtol=1e-5,
+            atol=1e-5,
+        )
+
+
 def test_pallas_kernel_matches_fallback_interpret():
     """Run the Pallas kernel in interpret mode on CPU and compare."""
     from jax.experimental.pallas import tpu as pltpu
