@@ -33,7 +33,10 @@ def _batch_pallas_dequant(mesh) -> bool:
     cast-fused XLA dequant dot is measured equal-or-better at every batch
     size (19.5 at batch 8, 7.0 at batch 1 — journal R4.8), and it is the
     only path GSPMD can partition when the weights are tp-sharded.
-    QWEN3_TTS_BATCH_PALLAS_DEQUANT=1 opts in for A/B runs (unsharded only).
+    QWEN3_TTS_BATCH_PALLAS_DEQUANT=1 opts in for A/B runs (unsharded
+    only). NOTE: the scope also re-enables the code predictor's fused
+    per-layer Pallas path, which vmap grid-repeats per example (journal
+    R4.9) — A/B numbers under this flag include that CP regression.
     """
     if mesh is not None:
         return False

@@ -79,7 +79,14 @@ def predict_acoustic_codes(
         return fused_layer.streamed_cp_frame(
             params, cfg, talker_hidden, semantic_embed
         )
-    if fused_layer.supports_fused_step(params["layers"]):
+    if quant.pallas_allowed() and fused_layer.supports_fused_step(params["layers"]):
+        # Under pallas_dequant_scope(False) — batched (vmapped) or
+        # tp-sharded programs — fall through to the generic stack: its
+        # quant.mm dots are XLA dequant-then-dot, which vmap folds into
+        # matmul rows (one weight read per step for ALL streams). The
+        # fused per-layer pallas_calls here would instead be grid-repeated
+        # per example by vmap's batching rule: measured 9.4 ms/frame of a
+        # 13.9 ms/frame batch-8 int8 loop was this CP scan (journal R4.9).
         return _predict_acoustic_codes_fused(
             params, cfg, talker_hidden, semantic_embed, hoisted_scan_slices
         )

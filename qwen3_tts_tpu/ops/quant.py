@@ -65,6 +65,17 @@ def _pallas_allowed() -> bool:
     return _pallas_enabled if scoped is None else scoped
 
 
+def pallas_allowed() -> bool:
+    """Whether the current trace may emit int8 Pallas kernels.
+
+    Consulted by routing code outside this module (e.g. the code
+    predictor's fused-step gate): batched/tp-sharded programs trace under
+    ``pallas_dequant_scope(False)`` and must take XLA-dequant paths that
+    jax.vmap folds into matmul rows and GSPMD can partition.
+    """
+    return _pallas_allowed()
+
+
 def quantize_linear(w: jnp.ndarray) -> dict:
     """[K, N] float weights -> {"q8": int8 [K, N], "scale": f32 [N]}.
 

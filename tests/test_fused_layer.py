@@ -545,3 +545,33 @@ def test_streamed_talker_full_pipeline_codes():
     np.testing.assert_array_equal(frames[:2], frames_p[:2])
     agreement = (frames[:n] == frames_p[:n]).mean()
     assert agreement >= 0.9, f"stream-pack code agreement {agreement:.2%} < 90%"
+
+
+def test_batched_scope_routes_cp_off_pallas():
+    """Under pallas_dequant_scope(False) — how every batched entry point
+    traces (generation/batch.py) — the CP must take the generic stack, not
+    the fused per-layer Pallas kernels: jax.vmap batches a raw pallas_call
+    by grid-repeating the kernel per example, re-reading the batch-invariant
+    weights B times per sub-step (9.4 of 13.9 ms/frame at 1.7B int8 batch 8,
+    journal R4.9). Pin (a) a pallas-free batched trace and (b) per-example
+    equality with the solo fused path."""
+    params = _quantized_params(jax.random.PRNGKey(7), CFG)
+    rs = np.random.RandomState(7)
+    b = 3
+    hidden = jnp.asarray(rs.randn(b, 1, 1, CFG.hidden_size).astype(np.float32))
+    semantic = jnp.asarray(rs.randn(b, 1, 1, CFG.hidden_size).astype(np.float32))
+
+    vcp = jax.vmap(
+        lambda h, s: cp.predict_acoustic_codes(params, CFG, h, s), in_axes=(0, 0)
+    )
+    with quant.pallas_dequant_scope(False):
+        jaxpr = str(jax.make_jaxpr(vcp)(hidden, semantic))
+        assert "pallas_call" not in jaxpr, "batched CP traced a Pallas kernel"
+        got = np.asarray(vcp(hidden, semantic))
+
+    assert fused_layer.supports_fused_step(params["layers"])  # solo still fused
+    for i in range(b):
+        want = np.asarray(
+            cp.predict_acoustic_codes(params, CFG, hidden[i], semantic[i])
+        )
+        np.testing.assert_array_equal(got[i], want)
