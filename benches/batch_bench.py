@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--batches", type=int, nargs="+", default=[1, 2, 4, 8])
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--w8a8", action="store_true",
+                    help="with --int8: int8 activations (int8 x int8 MXU dots)")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -43,6 +45,7 @@ def main():
             model.config, model.talker_params, model.cp_params,
             model.vocoder_params, model.tokenizer,
             vocoder_config=model.vocoder_config, quantize_int8=True,
+            int8_activations=args.w8a8,
         )
 
     class WordTokenizer:
@@ -81,7 +84,7 @@ def main():
     base = results[0]["aggregate_rtf"]
     summary = {
         "model": f"synthetic-{args.size}",
-        "mode": "int8" if args.int8 else "bf16",
+        "mode": ("int8-w8a8" if args.w8a8 else "int8") if args.int8 else "bf16",
         "frames": frames,
         "rows": results,
         "scaling_vs_batch1": [

@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--frames", type=int, default=125)
     ap.add_argument("--no-int8", action="store_true")
+    ap.add_argument("--w8a8", action="store_true",
+                    help="int8 activations (int8 x int8 MXU dots) in the "
+                         "batched programs")
     ap.add_argument("--json", default=None)
     ap.add_argument(
         "--components",
@@ -65,7 +68,7 @@ def main():
     from qwen3_tts_tpu.models import code_predictor as cp
     from qwen3_tts_tpu.models.codec import vocoder
     from qwen3_tts_tpu.models.config import config_for_variant
-    from qwen3_tts_tpu.ops import nn, sampling
+    from qwen3_tts_tpu.ops import nn, quant, sampling
     from qwen3_tts_tpu.pipeline import DECODE_BUCKET, Qwen3TTS
 
     cfg = config_for_variant(args.size, "custom_voice")
@@ -75,6 +78,7 @@ def main():
             model.config, model.talker_params, model.cp_params,
             model.vocoder_params, model.tokenizer,
             vocoder_config=model.vocoder_config, quantize_int8=True,
+            int8_activations=args.w8a8,
         )
 
     class WordTokenizer:
@@ -89,7 +93,10 @@ def main():
     opts = SynthesisOptions(max_length=n, min_new_tokens=n, seed=42)
     texts = [f"Utterance number {i} of the decomposition corpus." for i in range(b)]
     audio_s = n * T.SAMPLES_PER_FRAME / T.OUTPUT_SAMPLE_RATE
-    results = {"batch": b, "frames": n, "mode": "bf16" if args.no_int8 else "int8"}
+    results = {
+        "batch": b, "frames": n,
+        "mode": "bf16" if args.no_int8 else ("int8-w8a8" if args.w8a8 else "int8"),
+    }
     print(f"device: {jax.devices()[0]}  batch: {b}  mode: {results['mode']}")
 
     def flush():
@@ -141,7 +148,7 @@ def main():
         return gbatch.generate_frames_batch(
             model.talker_params, model.cp_params, tcfg, cpcfg, scfg,
             st, trailing, trailing_lens, pad_embed, uniforms,
-            jnp.int32(n), mesh=None,
+            jnp.int32(n), mesh=None, w8a8=args.w8a8,
         ).frames
 
     if "loop" in want or args.trace:
@@ -192,7 +199,9 @@ def main():
         cache0 = jax.vmap(lambda _: nn.init_kv_cache(stack, 1, rows, jnp.bfloat16))(
             jnp.arange(b)
         )
-        timed("talker_ms", lambda: talker_loop(x0, cache0))
+        # w8a8 is consulted at trace time; scope the first (tracing) call.
+        with quant.pallas_dequant_scope(False), quant.w8a8_scope(args.w8a8):
+            timed("talker_ms", lambda: talker_loop(x0, cache0))
 
     cp_slices = cp.scan_slices(cpp_nopack, cpcfg) if cpcfg.decode_mode != "jacobi" else None
     vcp = jax.vmap(
@@ -213,7 +222,8 @@ def main():
     h0 = jnp.zeros((b, 1, 1, hidden), jnp.bfloat16) + 0.01
     s0 = jnp.zeros((b, 1, 1, hidden), jnp.bfloat16) + 0.02
     if "cp" in want:
-        timed("cp_ms", lambda: cp_loop(h0, s0))
+        with quant.pallas_dequant_scope(False), quant.w8a8_scope(args.w8a8):
+            timed("cp_ms", lambda: cp_loop(h0, s0))
 
     supp = sampling.build_suppression_mask(tcfg.codec_vocab_size, scfg.eos_token_id)
     uni = jnp.linspace(0.01, 0.99, n)
@@ -243,7 +253,7 @@ def main():
         final = gbatch.generate_frames_batch(
             model.talker_params, model.cp_params, tcfg, cpcfg, scfg,
             jax.tree.map(jnp.copy, states0), trailing, trailing_lens, pad_embed,
-            uniforms, jnp.int32(n), mesh=None,
+            uniforms, jnp.int32(n), mesh=None, w8a8=args.w8a8,
         )
         jax.block_until_ready(final.frames)
 

@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--chunk", type=int, default=10)
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--w8a8", action="store_true",
+                    help="with --int8: int8 activations (int8 x int8 MXU dots)")
     args = ap.parse_args()
 
     from qwen3_tts_tpu import SynthesisOptions, tokens as T
@@ -42,6 +44,7 @@ def main():
             model.config, model.talker_params, model.cp_params,
             model.vocoder_params, model.tokenizer,
             vocoder_config=model.vocoder_config, quantize_int8=True,
+            int8_activations=args.w8a8,
         )
 
     class WordTokenizer:
@@ -108,7 +111,7 @@ def main():
     base = results[0]["aggregate_rtf"]
     summary = {
         "size": args.size,
-        "dtype": "int8" if args.int8 else "bf16",
+        "dtype": ("int8-w8a8" if args.w8a8 else "int8") if args.int8 else "bf16",
         "frames": frames,
         "chunk": args.chunk,
         "scaling_vs_batch1": [

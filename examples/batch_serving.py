@@ -25,6 +25,11 @@ def main():
     ap.add_argument("--synthetic", action="store_true")
     args = ap.parse_args()
 
+    # Throughput knobs (both opt-in): quantize_int8=True halves the weight
+    # traffic the batched loop streams per frame; int8_activations=True
+    # (w8a8) additionally feeds int8 x int8 MXU dots in batched programs —
+    # faster still, but lossy (validate per checkpoint via
+    # scripts/quant_report.py before enabling in production).
     if args.ckpt:
         model = Qwen3TTS.from_pretrained(args.ckpt)
     elif args.synthetic:

@@ -60,7 +60,7 @@ _batched_generate = jax.vmap(
 
 @partial(
     jax.jit,
-    static_argnames=("tcfg", "scfg", "max_new_tokens", "mesh"),
+    static_argnames=("tcfg", "scfg", "max_new_tokens", "mesh", "w8a8"),
     donate_argnames=("caches",),
 )
 def prefill_custom_voice_batch(
@@ -75,9 +75,10 @@ def prefill_custom_voice_batch(
     uniforms: jnp.ndarray,  # [B, max_new + 1]
     max_new_tokens: int,
     mesh=None,
+    w8a8: bool = False,
 ):
     """Returns (batched GenState, trailing [B, Tb, H], trailing_lens [B], pad)."""
-    with quant.pallas_dequant_scope(_batch_pallas_dequant(mesh)):
+    with quant.pallas_dequant_scope(_batch_pallas_dequant(mesh)), quant.w8a8_scope(w8a8):
         return _batched_prefill_cv(
             talker_params,
             tcfg,
@@ -94,7 +95,7 @@ def prefill_custom_voice_batch(
 
 @partial(
     jax.jit,
-    static_argnames=("tcfg", "cpcfg", "scfg", "mesh"),
+    static_argnames=("tcfg", "cpcfg", "scfg", "mesh", "w8a8"),
     donate_argnames=("states",),
 )
 def generate_frames_batch(
@@ -110,6 +111,7 @@ def generate_frames_batch(
     uniforms: jnp.ndarray,  # [B, max_new + 1]
     frame_limit: jnp.ndarray,  # [] shared
     mesh=None,
+    w8a8: bool = False,
 ) -> core.GenState:
     from dataclasses import replace
 
@@ -128,7 +130,7 @@ def generate_frames_batch(
         k: v for k, v in cp_params.items()
         if k not in ("stream_pack", "tp_pack")
     }
-    with quant.pallas_dequant_scope(_batch_pallas_dequant(mesh)):
+    with quant.pallas_dequant_scope(_batch_pallas_dequant(mesh)), quant.w8a8_scope(w8a8):
         return _batched_generate(
             talker_params,
             cp_params,

@@ -65,6 +65,37 @@ def _pallas_allowed() -> bool:
     return _pallas_enabled if scoped is None else scoped
 
 
+_w8a8_trace = threading.local()
+
+
+@contextlib.contextmanager
+def w8a8_scope(enabled: bool):
+    """Trace-scoped dynamic activation quantization (w8a8) switch.
+
+    Inside the scope, ``int8_matmul`` quantizes activations per row
+    (dynamic absmax) and issues an int8 x int8 -> int32 MXU dot instead of
+    dequantizing the weights to bf16. This removes the dequant-cast VPU
+    cost that keeps batched int8 decode at ~2x the weight-read bound
+    (journal R4.9), at the price of activation rounding: outputs are NOT
+    bit-identical to the weight-only path. Strictly opt-in
+    (``Qwen3TTS(..., int8_activations=True)``); default off everywhere.
+
+    Like :func:`pallas_dequant_scope`, the scope is consulted at trace
+    time; jitted entry points key it on a static ``w8a8`` argument so the
+    choice is per-compiled-program, never process-global.
+    """
+    prev = getattr(_w8a8_trace, "enabled", None)
+    _w8a8_trace.enabled = bool(enabled)
+    try:
+        yield
+    finally:
+        _w8a8_trace.enabled = prev
+
+
+def _w8a8_allowed() -> bool:
+    return bool(getattr(_w8a8_trace, "enabled", False))
+
+
 def pallas_allowed() -> bool:
     """Whether the current trace may emit int8 Pallas kernels.
 
@@ -89,6 +120,27 @@ def quantize_linear(w: jnp.ndarray) -> dict:
 
 def is_quantized(w) -> bool:
     return isinstance(w, dict) and "q8" in w
+
+
+def _w8a8_matmul(x2: jnp.ndarray, q8: jnp.ndarray, scale: jnp.ndarray):
+    """[m, K] @ [K, N] with BOTH operands int8 on the MXU.
+
+    Activations are quantized per row (dynamic symmetric absmax — the
+    standard near-lossless recipe for transformer activations), the dot
+    accumulates exactly in int32, and the two scales are applied to the
+    [m, N] output. Weight bytes go straight from HBM to the MXU with no
+    dequant cast, and GSPMD partitions the dot + scale chain like any
+    plain matmul (the per-row amax over a tp-sharded K is a psum-max XLA
+    inserts itself).
+    """
+    xf = x2.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    x_scale = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, q8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return (acc.astype(jnp.float32) * x_scale * scale[None, :]).astype(x2.dtype)
 
 
 def _dequant_matmul_reference(x: jnp.ndarray, q8: jnp.ndarray, scale: jnp.ndarray):
@@ -135,6 +187,8 @@ def _int8_mm_core(x2: jnp.ndarray, q8: jnp.ndarray, scale: jnp.ndarray):
     """[m, K] @ dequant([K, N]) -> [m, N]; Pallas on TPU, fallback elsewhere."""
     m, _ = x2.shape
     k, n = q8.shape
+    if _w8a8_allowed():
+        return _w8a8_matmul(x2, q8, scale)
     use_pallas = _pallas_allowed() and jax.default_backend() == "tpu" and m <= 1024
     if use_pallas:
         fn = _make_pallas_matmul(m, k, n, x2.dtype)

@@ -173,8 +173,17 @@ class Qwen3TTS:
         vocoder_config: vocoder.VocoderConfig = vocoder.VocoderConfig(),
         fuse_projections: bool = False,
         quantize_int8: bool = False,
+        int8_activations: bool = False,
     ):
         self.config = config
+        # w8a8: batched programs quantize activations per token and run
+        # int8 x int8 MXU dots, removing the dequant-cast VPU cost that
+        # keeps batched int8 decode at ~2x the weight-read bound (journal
+        # R4.9). Lossy (activation rounding) — strictly opt-in, batch paths
+        # only; solo decode keeps the bit-stable weight-only kernels.
+        self.w8a8 = bool(int8_activations and quantize_int8)
+        if int8_activations and not quantize_int8:
+            raise ValueError("int8_activations requires quantize_int8=True")
         if fuse_projections:
             # Optional QKV / gate-up fusion. Measured NEUTRAL-to-slightly-slower
             # on TPU v5e (8.48 -> 8.67 ms/frame at 1.7B): inside one compiled
@@ -333,6 +342,7 @@ class Qwen3TTS:
         mimi_config=None,
         dtype=jnp.bfloat16,
         quantize_int8: bool = False,
+        int8_activations: bool = False,
         mesh=None,
     ) -> "Qwen3TTS":
         """Load from a local HF checkpoint directory (config.json +
@@ -414,6 +424,7 @@ class Qwen3TTS:
             speech_encoder,
             vocoder_config=vocoder_config,
             quantize_int8=quantize_int8,
+            int8_activations=int8_activations,
         )
         if mesh is not None:
             model.shard(mesh)
@@ -796,6 +807,7 @@ class Qwen3TTS:
             uniforms,
             jnp.int32(options.max_length),
             mesh=self.mesh,
+            w8a8=self.w8a8,
         )
         frames, counts = jax.device_get((states.frames, states.frame_idx))
         counts = np.asarray(counts)
@@ -906,6 +918,7 @@ class Qwen3TTS:
             uniforms,
             max_new_bucket,
             mesh=self.mesh,
+            w8a8=self.w8a8,
         )
         return states, trailing, trailing_lens, pads[0], uniforms, scfg
 
@@ -1206,7 +1219,7 @@ def _advance_and_decode_chunk_exact(
 
 @partial(
     jax.jit,
-    static_argnames=("tcfg", "cpcfg", "scfg", "vcfg", "chunk", "mesh"),
+    static_argnames=("tcfg", "cpcfg", "scfg", "vcfg", "chunk", "mesh", "w8a8"),
     donate_argnames=("states", "vstate"),
 )
 def _advance_and_decode_chunk_batch(
@@ -1227,6 +1240,7 @@ def _advance_and_decode_chunk_batch(
     emitted,
     chunk: int,
     mesh=None,
+    w8a8: bool = False,
 ):
     """One streaming chunk for a BATCH of streams, as a single device program.
 
@@ -1258,7 +1272,7 @@ def _advance_and_decode_chunk_batch(
     # Batched programs default to the XLA dequant dot (measured equal to the
     # row-folded Pallas kernel, and the only GSPMD-partitionable path —
     # generation/batch.py:_batch_pallas_dequant, journal R4.8).
-    with _Q.pallas_dequant_scope(gbatch._batch_pallas_dequant(mesh)):
+    with _Q.pallas_dequant_scope(gbatch._batch_pallas_dequant(mesh)), _Q.w8a8_scope(w8a8):
         states = gbatch._batched_generate(
             talker_params, cp_params, tcfg, cpcfg, scfg, states,
             trailing, trailing_lens, pad_embed, uniforms, frame_limit,
@@ -1812,6 +1826,7 @@ class StreamingBatchSession:
                 jnp.int32(self._spec_frontier),
                 chunk,
                 mesh=self.model.mesh,
+                w8a8=self.model.w8a8,
             )
         )
         self._pending.append((self._spec_frontier, chunk, wav_dev, n_dev, done_dev))

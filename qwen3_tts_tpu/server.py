@@ -559,6 +559,11 @@ def main(argv=None):
                          "to coalesce into one batched session (default: the "
                          "batch window). 0 disables stream coalescing and "
                          "removes the wait from solo-stream TTFA.")
+    ap.add_argument("--w8a8", action="store_true",
+                    help="With --int8: quantize activations per token and "
+                         "run int8 x int8 MXU dots in BATCHED programs "
+                         "(higher throughput, lossy; validate quality per "
+                         "checkpoint — solo decode keeps weight-only int8)")
     ap.add_argument("--int8", action="store_true",
                     help="Weight-only int8 + streaming kernels for "
                          "single-stream requests (batched requests fall "
@@ -568,7 +573,10 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     from .pipeline import Qwen3TTS
 
-    model = Qwen3TTS.from_pretrained(args.model_dir, quantize_int8=args.int8)
+    model = Qwen3TTS.from_pretrained(
+        args.model_dir, quantize_int8=args.int8,
+        int8_activations=args.w8a8 and args.int8,
+    )
     logger.info("loaded %s; serving on %s:%d", model.config.label, args.host, args.port)
     server = serve(model, args.host, args.port, args.max_batch,
                    args.batch_window_ms, args.stream_window_ms)

@@ -71,7 +71,9 @@ def weight_snr_report(plain_layers: dict, quant_layers: dict) -> dict:
     return out
 
 
-def logit_drift_report(model_plain, model_int8, n_steps: int = 16, seed: int = 0) -> dict:
+def logit_drift_report(
+    model_plain, model_int8, n_steps: int = 16, seed: int = 0, w8a8: bool = False
+) -> dict:
     """Drive both models through identical decode steps and compare logits.
 
     The int8 model consumes the PLAIN model's sampled token stream, so both
@@ -138,7 +140,15 @@ def logit_drift_report(model_plain, model_int8, n_steps: int = 16, seed: int = 0
         return tokens, np.stack(logits_seq), np.stack(codes_seq)
 
     tokens, logits_ref, codes_ref = run(model_plain)
-    _, logits_q, codes_q = run(model_int8, token_stream=tokens)
+    if w8a8:
+        # Everything here is eager (no module-level jit), so the trace
+        # scope applies per op — no stale-compile risk.
+        from qwen3_tts_tpu.ops import quant as Q
+
+        with Q.w8a8_scope(True):
+            _, logits_q, codes_q = run(model_int8, token_stream=tokens)
+    else:
+        _, logits_q, codes_q = run(model_int8, token_stream=tokens)
 
     def softmax(x):
         x = x - x.max(-1, keepdims=True)
@@ -251,6 +261,12 @@ def main(argv=None) -> int:
             plain_c["layers"], model_int8.cp_params["layers"]
         ),
         "logit_drift": logit_drift_report(model_plain, model_int8, args.steps),
+        # w8a8 (batched throughput mode, Qwen3TTS int8_activations=True)
+        # adds per-token activation rounding on top of weight quantization;
+        # the same promote criterion applies before enabling it in serving.
+        "logit_drift_w8a8": logit_drift_report(
+            model_plain, model_int8, args.steps, w8a8=True
+        ),
         "promote_criterion": PROMOTE_CRITERION,
     }
     snrs = [

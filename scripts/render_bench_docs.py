@@ -207,7 +207,11 @@ def render_icl(arts) -> str:
 
 def render_batch_table(arts) -> str:
     out = []
-    for label, key in (("bf16", "batch_1p7b"), ("int8", "batch_1p7b_int8")):
+    for label, key in (
+        ("bf16", "batch_1p7b"),
+        ("int8", "batch_1p7b_int8"),
+        ("int8 w8a8 (opt-in, lossy)", "batch_1p7b_int8_w8a8"),
+    ):
         art = arts.get(key)
         if art is None:
             continue
@@ -351,6 +355,7 @@ def main(argv=None) -> int:
         "e2e_0p6b_int8": load("BENCH_e2e_0p6b_int8.json", required=True),
         "batch_1p7b": load("BENCH_batch_1p7b.json"),
         "batch_1p7b_int8": load("BENCH_batch_1p7b_int8.json"),
+        "batch_1p7b_int8_w8a8": load("BENCH_batch_1p7b_int8_w8a8.json"),
         "stream_batch_1p7b": load("BENCH_stream_batch_1p7b.json"),
         "stream_batch_1p7b_int8": load("BENCH_stream_batch_1p7b_int8.json"),
         "icl_ab": load("BENCH_icl_ab_1p7b.json"),

@@ -386,6 +386,47 @@ def test_facade_shard_batch_dp():
         np.testing.assert_allclose(a.samples, b.samples, rtol=0, atol=1e-6)
 
 
+def test_facade_shard_batch_dp_w8a8():
+    """synthesize_batch with int8_activations=True under a dp=2 x tp=2 mesh.
+
+    GSPMD must partition the int8 x int8 dot + per-row activation scales
+    like any plain matmul (the per-token amax over a tp-sharded K becomes
+    an XLA max-all-reduce); per-stream audio matches the unsharded w8a8
+    batch. Pins that the w8a8 path stays mesh-compatible (unlike the solo
+    Pallas kernels, which are deliberately batch-1/scope-gated)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import tests.test_pipeline as tpl
+    from qwen3_tts_tpu.parallel import sharding as S
+    from qwen3_tts_tpu.pipeline import Qwen3TTS, SynthesisOptions
+
+    def w8a8_model():
+        m = tpl.tiny_model(dtype=jnp.float32)
+        return Qwen3TTS(
+            m.config, m.talker_params, m.cp_params, m.vocoder_params,
+            m.tokenizer, vocoder_config=m.vocoder_config,
+            quantize_int8=True, int8_activations=True,
+        )
+
+    opts = SynthesisOptions(max_length=4, seed=17, temperature=0.001)
+    texts = ["alpha", "beta"]
+    out_ref = w8a8_model().synthesize_batch(texts, options=opts)
+
+    mesh = S.make_mesh(jax.devices()[:4], tp=2)  # dp=2 x tp=2
+    m_sh = w8a8_model().shard(mesh)
+    assert m_sh.w8a8
+    out_sh = m_sh.synthesize_batch(texts, options=opts)
+
+    assert len(out_ref) == len(out_sh)
+    for a, b in zip(out_ref, out_sh):
+        assert len(a.samples) == len(b.samples)
+        # int32 accumulation is exact; the residual is f32 scale/psum
+        # ordering under GSPMD.
+        np.testing.assert_allclose(a.samples, b.samples, rtol=0, atol=1e-5)
+
+
 def test_pallas_dequant_scope_sticky():
     """Trace-scoped dequant switch: disable is sticky under nesting and the
     process-global default survives any scoped program (VERDICT r3 weak #4:

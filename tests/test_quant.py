@@ -128,3 +128,120 @@ def test_pallas_kernel_matches_fallback_interpret():
     np.testing.assert_allclose(
         np.asarray(out_k, np.float32), np.asarray(out_f, np.float32), rtol=2e-2, atol=1e-3
     )
+
+
+# ---------------------------------------------------------------------------
+# w8a8 (dynamic activation quantization, opt-in — journal R4.10)
+# ---------------------------------------------------------------------------
+
+
+def test_w8a8_matmul_close_to_dense():
+    """int8 x int8 MXU dot with per-row activation scales tracks the dense
+    matmul (lossy but near-lossless: two symmetric int8 roundings)."""
+    rs = np.random.RandomState(6)
+    x = jnp.asarray(rs.randn(4, 256).astype(np.float32))
+    w = jnp.asarray(rs.randn(256, 512).astype(np.float32) * 0.05)
+    q = quant.quantize_linear(w)
+    with quant.w8a8_scope(True):
+        out_q = np.asarray(quant.mm(x, q), np.float32)
+    out_d = np.asarray(x @ w)
+    for i in range(4):
+        cos = out_q[i] @ out_d[i] / (
+            np.linalg.norm(out_q[i]) * np.linalg.norm(out_d[i])
+        )
+        assert cos > 0.999, cos
+
+
+def test_w8a8_scope_is_off_by_default_and_restores():
+    rs = np.random.RandomState(7)
+    x = jnp.asarray(rs.randn(2, 128).astype(np.float32))
+    w = jnp.asarray(rs.randn(128, 256).astype(np.float32) * 0.05)
+    q = quant.quantize_linear(w)
+    base = np.asarray(quant.mm(x, q))
+    with quant.w8a8_scope(True):
+        assert quant._w8a8_allowed()
+        inner = np.asarray(quant.mm(x, q))
+    assert not quant._w8a8_allowed()
+    after = np.asarray(quant.mm(x, q))
+    # scope restored: outside traces take the weight-only path again
+    np.testing.assert_array_equal(base, after)
+    # and the w8a8 product is a *different* (activation-rounded) number
+    assert np.abs(inner - base).max() > 0
+
+def test_w8a8_int_dot_is_exact_for_integer_activations():
+    """Activations already on the int8 grid survive w8a8 exactly: the int32
+    accumulation is exact, so the only error source is activation rounding."""
+    rs = np.random.RandomState(8)
+    xi = rs.randint(-127, 128, (3, 128)).astype(np.float32)
+    w = jnp.asarray(rs.randn(128, 256).astype(np.float32) * 0.05)
+    q = quant.quantize_linear(w)
+    deq = np.asarray(q["q8"], np.float32) * np.asarray(q["scale"])[None, :]
+    # per-row absmax 127 -> x_scale = 1 -> xq == xi exactly
+    for row in xi:
+        row[np.argmax(np.abs(row))] = 127.0
+    x = jnp.asarray(xi)
+    with quant.w8a8_scope(True):
+        out = np.asarray(quant.mm(x, q), np.float32)
+    ref = xi @ deq
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-4)
+
+
+def test_w8a8_vmap_folds_batch_into_rows():
+    """The custom_vmap row-folding rule applies under w8a8 too: one int8
+    dot over the weights per projection, not B."""
+    rs = np.random.RandomState(9)
+    x = jnp.asarray(rs.randn(5, 2, 256).astype(np.float32))
+    w = jnp.asarray(rs.randn(256, 512).astype(np.float32) * 0.05)
+    q = quant.quantize_linear(w)
+
+    with quant.w8a8_scope(True):
+        batched = jax.vmap(lambda xi: quant.mm(xi, q))(x)
+        jaxpr = jax.make_jaxpr(jax.vmap(lambda xi: quant.mm(xi, q)))(x)
+    with quant.w8a8_scope(True):
+        for i in range(5):
+            np.testing.assert_allclose(
+                np.asarray(batched[i]), np.asarray(quant.mm(x[i], q)),
+                rtol=1e-5, atol=1e-6,
+            )
+    dots = str(jaxpr).count("dot_general")
+    assert dots == 1, f"expected one folded int8 dot, got {dots}"
+    assert "preferred_element_type=int32" in str(jaxpr)
+
+
+def test_w8a8_batched_generation_runs_and_is_deterministic():
+    """synthesize_batch under int8_activations=True: runs, deterministic,
+    and the flag is rejected without quantize_int8."""
+    import pytest
+
+    import tests.test_pipeline as tp
+    from qwen3_tts_tpu.models import weights as W
+    from qwen3_tts_tpu.models.codec import vocoder
+    from qwen3_tts_tpu.models.config import ModelConfig, ModelType
+    from qwen3_tts_tpu.pipeline import Qwen3TTS
+
+    cfg = ModelConfig(
+        model_type=ModelType.CUSTOM_VOICE,
+        model_size="0b6",
+        talker=tp.TINY_TALKER,
+        code_predictor=tp.TINY_CP,
+    )
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(11), 3)
+    args = (
+        W.init_talker_params(k1, tp.TINY_TALKER, jnp.float32),
+        W.init_code_predictor_params(k2, tp.TINY_CP, jnp.float32),
+        vocoder.init_vocoder_params(k3, tp.TINY_VOC),
+        tp.FakeTokenizer(),
+    )
+    with pytest.raises(ValueError):
+        Qwen3TTS(cfg, *args, vocoder_config=tp.TINY_VOC, int8_activations=True)
+    model = Qwen3TTS(
+        cfg, *args, vocoder_config=tp.TINY_VOC,
+        quantize_int8=True, int8_activations=True,
+    )
+    assert model.w8a8
+    texts = ["one two", "three four five"]
+    a1 = model.synthesize_batch(texts, "ryan", "english", tp.OPTS)
+    a2 = model.synthesize_batch(texts, "ryan", "english", tp.OPTS)
+    assert all(len(a.samples) > 0 for a in a1)
+    for b1, b2 in zip(a1, a2):
+        np.testing.assert_array_equal(b1.samples, b2.samples)

@@ -29,8 +29,9 @@ def test_quant_report_tiny(tmp_path):
         assert report[sec], sec
         for key, stats in report[sec].items():
             assert stats["min_db"] > 35.0, (sec, key, stats)
-    drift = report["logit_drift"]
-    assert 0.0 <= drift["talker_argmax_flip_rate"] <= 1.0
-    assert 0.0 <= drift["cp_code_flip_rate"] <= 1.0
-    assert drift["mean_logit_kl"] >= 0.0
+    for sec in ("logit_drift", "logit_drift_w8a8"):
+        drift = report[sec]
+        assert 0.0 <= drift["talker_argmax_flip_rate"] <= 1.0, sec
+        assert 0.0 <= drift["cp_code_flip_rate"] <= 1.0, sec
+        assert drift["mean_logit_kl"] >= 0.0, sec
     assert isinstance(report["promote_int8"], bool)
