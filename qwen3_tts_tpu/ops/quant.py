@@ -82,10 +82,13 @@ def w8a8_scope(enabled: bool):
 
     Like :func:`pallas_dequant_scope`, the scope is consulted at trace
     time; jitted entry points key it on a static ``w8a8`` argument so the
-    choice is per-compiled-program, never process-global.
+    choice is per-compiled-program, never process-global. Disable is
+    sticky under nesting, mirroring ``pallas_dequant_scope``: an inner
+    ``w8a8_scope(True)`` cannot re-enable activation quantization inside
+    an outer ``w8a8_scope(False)`` trace (ADVICE r4).
     """
     prev = getattr(_w8a8_trace, "enabled", None)
-    _w8a8_trace.enabled = bool(enabled)
+    _w8a8_trace.enabled = (prev if prev is not None else True) and bool(enabled)
     try:
         yield
     finally:

@@ -785,7 +785,10 @@ class Qwen3TTS:
         streaming across streams — near-B x aggregate throughput on one chip
         (new capability; the reference is strictly batch-1). Stream i uses
         ``seeds[i]`` (default options.seed + i), reproducing its
-        single-stream output exactly.
+        single-stream output exactly — EXCEPT when ``int8_activations=True``
+        (w8a8): solo decode deliberately stays weight-only int8, so batched
+        output differs from the solo output by the activation rounding
+        (ADVICE r4; see server --w8a8 help).
         """
         from .generation import batch as gbatch
 

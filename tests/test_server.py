@@ -555,3 +555,12 @@ def test_streaming_time_slices_interleave_with_batch():
     i = order.index("batch")
     assert "slice" in order[:i], order  # stream started first
     assert "slice" in order[i + 1:], order  # ...and resumed after the batch job
+
+
+def test_main_rejects_w8a8_without_int8(capsys):
+    """--w8a8 alone must argparse-error (matching Qwen3TTS's ValueError for
+    int8_activations without quantize_int8), not silently serve bf16."""
+    with pytest.raises(SystemExit) as exc:
+        srv.main(["--model-dir", "/nonexistent", "--w8a8"])
+    assert exc.value.code == 2
+    assert "--w8a8 requires --int8" in capsys.readouterr().err
