@@ -148,7 +148,7 @@ def main():
         return gbatch.generate_frames_batch(
             model.talker_params, model.cp_params, tcfg, cpcfg, scfg,
             st, trailing, trailing_lens, pad_embed, uniforms,
-            jnp.int32(n), mesh=None, w8a8=args.w8a8,
+            jnp.full((b,), n, jnp.int32), mesh=None, w8a8=args.w8a8,
         ).frames
 
     if "loop" in want or args.trace:
@@ -253,7 +253,7 @@ def main():
         final = gbatch.generate_frames_batch(
             model.talker_params, model.cp_params, tcfg, cpcfg, scfg,
             jax.tree.map(jnp.copy, states0), trailing, trailing_lens, pad_embed,
-            uniforms, jnp.int32(n), mesh=None, w8a8=args.w8a8,
+            uniforms, jnp.full((b,), n, jnp.int32), mesh=None, w8a8=args.w8a8,
         )
         jax.block_until_ready(final.frames)
 

@@ -89,12 +89,7 @@ prefill_custom_voice = partial(
 )(custom_voice_impl)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("tcfg", "scfg", "max_new_tokens", "mesh"),
-    donate_argnames=("cache",),
-)
-def prefill_voice_design(
+def voice_design_impl(
     talker_params: dict,
     tcfg: TalkerConfig,
     scfg: sampling.SamplingConfig,
@@ -132,12 +127,14 @@ def prefill_voice_design(
     )
 
 
-@partial(
+prefill_voice_design = partial(
     jax.jit,
     static_argnames=("tcfg", "scfg", "max_new_tokens", "mesh"),
     donate_argnames=("cache",),
-)
-def prefill_voice_clone_xvector(
+)(voice_design_impl)
+
+
+def voice_clone_xvector_impl(
     talker_params: dict,
     tcfg: TalkerConfig,
     scfg: sampling.SamplingConfig,
@@ -170,12 +167,14 @@ def prefill_voice_clone_xvector(
     )
 
 
-@partial(
+prefill_voice_clone_xvector = partial(
     jax.jit,
-    static_argnames=("tcfg", "scfg", "max_new_tokens", "sequential", "mesh"),
+    static_argnames=("tcfg", "scfg", "max_new_tokens", "mesh"),
     donate_argnames=("cache",),
-)
-def prefill_voice_clone_icl(
+)(voice_clone_xvector_impl)
+
+
+def voice_clone_icl_impl(
     talker_params: dict,
     tcfg: TalkerConfig,
     scfg: sampling.SamplingConfig,
@@ -224,3 +223,10 @@ def prefill_voice_clone_icl(
         trailing_len,
         mesh=mesh,
     )
+
+
+prefill_voice_clone_icl = partial(
+    jax.jit,
+    static_argnames=("tcfg", "scfg", "max_new_tokens", "sequential", "mesh"),
+    donate_argnames=("cache",),
+)(voice_clone_icl_impl)

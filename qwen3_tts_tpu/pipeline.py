@@ -771,13 +771,40 @@ class Qwen3TTS:
         )
         return audio, timing
 
+    @staticmethod
+    def _split_batch_groups(
+        voices: list, instructs: list[str | None]
+    ) -> list[tuple[str, list[int]]]:
+        """Partition batch indices by prompt layout.
+
+        Three layouts exist (models/talker.py): ``basic`` = the 10-row
+        custom-voice/x-vector prompt (preset-speaker strings and x-vector
+        VoiceClonePrompts coalesce — the speaker row is a vector either way),
+        ``icl`` = 9 rows + reference-code rows (VoiceClonePrompts with ref
+        codes; separate because the ICL sampling overrides,
+        src/lib.rs:915-929, must not leak onto non-ICL streams), and
+        ``design`` = instruct rows + 9. Each group runs as one vmapped
+        program; order follows first appearance.
+        """
+        groups: dict[str, list[int]] = {}
+        for i, (v, ins) in enumerate(zip(voices, instructs)):
+            if ins is not None:
+                kind = "design"
+            elif isinstance(v, VoiceClonePrompt) and v.ref_codes is not None and v.ref_text_ids is not None:
+                kind = "icl"
+            else:
+                kind = "basic"
+            groups.setdefault(kind, []).append(i)
+        return list(groups.items())
+
     def synthesize_batch(
         self,
         texts: list[str],
-        speakers: list[str] | str = "ryan",
+        speakers: list | str = "ryan",
         languages: list[str] | str = "english",
         options: SynthesisOptions | None = None,
         seeds: list[int] | None = None,
+        instructs: list[str | None] | None = None,
     ) -> list[AudioBuffer]:
         """Throughput mode: synthesize B utterances through ONE vmapped loop.
 
@@ -789,14 +816,99 @@ class Qwen3TTS:
         (w8a8): solo decode deliberately stays weight-only int8, so batched
         output differs from the solo output by the activation rounding
         (ADVICE r4; see server --w8a8 help).
+
+        ``speakers`` entries may be preset-speaker names or
+        ``VoiceClonePrompt`` objects (x-vector or ICL cloning);
+        ``instructs[i]`` switches stream i to voice-design. Streams are
+        grouped by prompt layout (see ``_split_batch_groups``); each group
+        runs one vmapped loop, and ALL streams share one batched vocoder
+        pass. A homogeneous batch (the common serving case) is exactly one
+        loop, as before.
+        """
+        options = self._normalize_options(options or SynthesisOptions())
+        b = len(texts)
+        if isinstance(speakers, (str, VoiceClonePrompt)):
+            speakers = [speakers] * b
+        if isinstance(languages, str):
+            languages = [languages] * b
+        if instructs is None:
+            instructs = [None] * b
+        base_seed = options.seed if options.seed is not None else 0
+        if seeds is None:
+            seeds = [base_seed + i for i in range(b)]
+
+        frames_all: list[np.ndarray | None] = [None] * b
+        counts_all = np.zeros(b, np.int64)
+        refs_all: list[np.ndarray | None] = [None] * b
+        for kind, idx in self._split_batch_groups(speakers, instructs):
+            frames_g, counts_g, refs_g = self._generate_batch_group(
+                kind,
+                [texts[i] for i in idx],
+                [speakers[i] for i in idx],
+                [languages[i] for i in idx],
+                [instructs[i] for i in idx],
+                options,
+                [seeds[i] for i in idx],
+            )
+            for j, i in enumerate(idx):
+                frames_all[i] = frames_g[j]
+                counts_all[i] = counts_g[j]
+                refs_all[i] = refs_g[j]
+
+        # One batched vocoder pass across ALL groups at the max combined
+        # frame count; ICL streams prepend their reference codes and cut the
+        # prefix samples (exactly ref_len * 1920 — the reference's
+        # proportional cut, src/lib.rs:1022-1044). Per-stream right-pad trim
+        # is exact because the vocoder is causal and padded frames are zeros.
+        ref_lens = np.array(
+            [0 if r is None else len(r) for r in refs_all], np.int64
+        )
+        totals = ref_lens + counts_all
+        t_max = int(totals.max()) if b else 0
+        if t_max == 0:
+            return [AudioBuffer(np.zeros(0, np.float32), T.OUTPUT_SAMPLE_RATE)] * b
+        codes = np.zeros((b, t_max, 16), np.int32)
+        for i in range(b):
+            if ref_lens[i]:
+                codes[i, : ref_lens[i]] = refs_all[i]
+            if counts_all[i]:
+                codes[i, ref_lens[i] : totals[i]] = frames_all[i][: counts_all[i]]
+        wav = vocoder.decode_bucketed(
+            self.vocoder_params,
+            self.vocoder_config,
+            np.swapaxes(codes, 1, 2),
+            bucket=DECODE_BUCKET,
+        )
+        spf = T.SAMPLES_PER_FRAME
+        return [
+            AudioBuffer(
+                wav[i, int(ref_lens[i]) * spf : int(totals[i]) * spf],
+                T.OUTPUT_SAMPLE_RATE,
+            )
+            for i in range(b)
+        ]
+
+    def _generate_batch_group(
+        self,
+        kind: str,
+        texts: list[str],
+        voices: list,
+        languages: list[str],
+        instructs: list[str | None],
+        options: SynthesisOptions,
+        seeds: list[int],
+    ) -> tuple[list[np.ndarray], np.ndarray, list[np.ndarray | None]]:
+        """Prefill + run the vmapped frame loop for one layout group.
+
+        Returns (per-stream frames [T,16], counts, per-stream ref codes for
+        the vocoder prefix — None except in ICL mode).
         """
         from .generation import batch as gbatch
 
-        options = self._normalize_options(options or SynthesisOptions())
-        states, trailing, trailing_lens, pad_embed, uniforms, scfg = (
-            self._prepare_batch(texts, speakers, languages, options, seeds)
+        (states, trailing, trailing_lens, pad_embed, uniforms, scfg,
+         frame_limits, refs) = self._prepare_batch_group(
+            kind, texts, voices, languages, instructs, options, seeds
         )
-        b = len(texts)
         states = gbatch.generate_frames_batch(
             self.talker_params,
             self.cp_params,
@@ -808,130 +920,295 @@ class Qwen3TTS:
             trailing_lens,
             pad_embed,
             uniforms,
-            jnp.int32(options.max_length),
+            frame_limits,
             mesh=self.mesh,
             w8a8=self.w8a8,
         )
         frames, counts = jax.device_get((states.frames, states.frame_idx))
+        frames = np.asarray(frames, np.int32)
         counts = np.asarray(counts)
-        t_max = int(counts.max()) if b else 0
-        if t_max == 0:
-            return [AudioBuffer(np.zeros(0, np.float32), T.OUTPUT_SAMPLE_RATE)] * b
+        return [frames[j] for j in range(len(texts))], counts, refs
 
-        # One batched vocoder pass at the max frame count; per-stream trim is
-        # exact because the vocoder is causal and padded frames are zeros.
-        codes = np.swapaxes(np.asarray(frames[:, :t_max, :], np.int32), 1, 2)  # [B,16,T]
-        wav = vocoder.decode_bucketed(
-            self.vocoder_params, self.vocoder_config, codes, bucket=DECODE_BUCKET
+    def _shard_batch_arrays(self, b: int, caches, arrays: dict) -> tuple:
+        """dp x tp batched serving: device_put per-stream arrays over dp, KV
+        heads over tp. Requires b % dp == 0 (GSPMD even-shard constraint);
+        falls back to unsharded placement otherwise."""
+        if self.mesh is None:
+            return caches, arrays
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel import sharding as S
+
+        dp = self.mesh.shape.get("dp", 1)
+        if b % dp != 0:
+            logger.warning(
+                "synthesize_batch: batch %d not divisible by dp=%d; "
+                "running without dp sharding.", b, dp,
+            )
+            return caches, arrays
+        batch_sh = lambda spec: NamedSharding(self.mesh, spec)
+        caches = nn.KVCache(
+            jax.device_put(caches.k, batch_sh(S.batch_cache_spec())),
+            jax.device_put(caches.v, batch_sh(S.batch_cache_spec())),
         )
-        return [
-            AudioBuffer(wav[i, : int(counts[i]) * T.SAMPLES_PER_FRAME], T.OUTPUT_SAMPLE_RATE)
-            for i in range(b)
-        ]
+        arrays = {
+            k: jax.device_put(v, batch_sh(P("dp", *([None] * (v.ndim - 1)))))
+            for k, v in arrays.items()
+        }
+        return caches, arrays
 
-    def _prepare_batch(
+    def _prepare_batch_group(
         self,
+        kind: str,
         texts: list[str],
-        speakers: list[str] | str,
-        languages: list[str] | str,
+        voices: list,
+        languages: list[str],
+        instructs: list[str | None],
         options: SynthesisOptions,
-        seeds: list[int] | None,
+        seeds: list[int],
     ):
-        """Encode + prefill a batch of custom-voice prompts (one vmapped
-        program); shared by ``synthesize_batch`` and
-        ``synthesize_streaming_batch``. Returns the batched GenState plus the
-        per-stream trailing embeds / uniform streams the frame loop consumes.
+        """Encode + prefill one layout group of a batch (one vmapped program);
+        shared by ``synthesize_batch`` and ``synthesize_streaming_batch``.
+
+        Returns (batched GenState, trailing [B,Tb,H], trailing_lens [B],
+        pad_embed [H], uniforms [B,max+1], scfg, frame_limits [B] int32,
+        per-stream ref codes list). ``kind`` selects the prompt layout
+        (see ``_split_batch_groups``); an all-preset ``basic`` group keeps
+        the original custom-voice program, a group with any x-vector entry
+        runs the clone program with per-stream speaker vectors
+        (bit-identical rows for preset entries — the speaker-token
+        embedding IS the vector).
         """
         from .generation import batch as gbatch
 
         b = len(texts)
-        if isinstance(speakers, str):
-            speakers = [speakers] * b
-        if isinstance(languages, str):
-            languages = [languages] * b
-
         encoded = [self._encode_text(t) for t in texts]
-        tb = next_bucket(max(max(len(e) for e in encoded), 1), TEXT_BUCKET)
-        text_ids = np.zeros((b, tb), np.int32)
-        for i, e in enumerate(encoded):
-            text_ids[i, : len(e)] = e
-        text_lens = jnp.asarray([len(e) for e in encoded], jnp.int32)
-        speaker_ids = jnp.asarray(
-            [T.speaker_info(s).token_id for s in speakers], jnp.int32
-        )
-        lang_ids = jnp.asarray([T.language_token_id(l) for l in languages], jnp.int32)
+        refs: list[np.ndarray | None] = [None] * b
 
-        max_new_bucket = next_bucket(options.max_length, buckets=FRAME_BUCKETS)
-        stack_cfg = self.config.talker.layer_stack()
-        dtype = self.compute_dtype
-        cache_shape = (
-            b,
-            stack_cfg.num_layers,
-            1,
-            10 + max_new_bucket + 8,
-            stack_cfg.num_kv_heads,
-            stack_cfg.head_dim,
-        )
-        caches = nn.KVCache(jnp.zeros(cache_shape, dtype), jnp.zeros(cache_shape, dtype))
-        base_seed = options.seed if options.seed is not None else 0
-        if seeds is None:
-            seeds = [base_seed + i for i in range(b)]
+        # Per-stream frame budgets: ICL streams cap generation at
+        # 6 frames/text-token (min 75), the reference's anti-babble guard
+        # (src/lib.rs:915-929); other layouts share options.max_length.
+        if kind == "icl":
+            per_max = [
+                min(
+                    options.max_length,
+                    max(ICL_MIN_FRAMES, len(e) * ICL_FRAMES_PER_TOKEN),
+                )
+                for e in encoded
+            ]
+            scfg = replace(
+                options,
+                repetition_penalty=max(
+                    options.repetition_penalty, ICL_MIN_REPETITION_PENALTY
+                ),
+            ).sampling_config()
+        else:
+            per_max = [options.max_length] * b
+            scfg = options.sampling_config()
+
+        max_new_bucket = next_bucket(max(per_max), buckets=FRAME_BUCKETS)
         uniforms = jnp.asarray(
             np.stack(
                 [rng.pcg_uniform_sequence(s, max_new_bucket + 1) for s in seeds]
             )
         )
+        frame_limits = jnp.asarray(per_max, jnp.int32)
+        lang_ids = jnp.asarray([T.language_token_id(l) for l in languages], jnp.int32)
 
-        text_ids = jnp.asarray(text_ids)
-        if self.mesh is not None:
-            # dp x tp batched serving: utterances over dp, KV heads over tp.
-            # Requires b % dp == 0 (GSPMD even-shard constraint).
-            from jax.sharding import NamedSharding, PartitionSpec as P
+        def new_caches(prefill_rows: int) -> nn.KVCache:
+            stack_cfg = self.config.talker.layer_stack()
+            dtype = self.compute_dtype
+            shape = (
+                b,
+                stack_cfg.num_layers,
+                1,
+                prefill_rows + max_new_bucket + 8,
+                stack_cfg.num_kv_heads,
+                stack_cfg.head_dim,
+            )
+            return nn.KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
-            from .parallel import sharding as S
+        def speaker_vec(v) -> jnp.ndarray:
+            if isinstance(v, VoiceClonePrompt):
+                return jnp.asarray(v.speaker_embedding, self.compute_dtype)
+            return talker_model.embed_codec(
+                self.talker_params, jnp.int32(T.speaker_info(v).token_id)
+            )
 
-            dp = self.mesh.shape.get("dp", 1)
-            if b % dp == 0:
-                batch_sh = lambda spec: NamedSharding(self.mesh, spec)
-                caches = nn.KVCache(
-                    jax.device_put(caches.k, batch_sh(S.batch_cache_spec())),
-                    jax.device_put(caches.v, batch_sh(S.batch_cache_spec())),
-                )
-                uniforms = jax.device_put(uniforms, batch_sh(P("dp", None)))
-                text_ids = jax.device_put(text_ids, batch_sh(P("dp", None)))
-                text_lens = jax.device_put(text_lens, batch_sh(P("dp")))
-                speaker_ids = jax.device_put(speaker_ids, batch_sh(P("dp")))
-                lang_ids = jax.device_put(lang_ids, batch_sh(P("dp")))
-            else:
-                logger.warning(
-                    "synthesize_batch: batch %d not divisible by dp=%d; "
-                    "running without dp sharding.", b, dp,
-                )
+        if kind == "icl":
+            # Per-stream ICL rows at shared buckets; true lengths traced.
+            all_texts = [
+                list(v.ref_text_ids) + list(e) + [T.TTS_EOS]
+                for v, e in zip(voices, encoded)
+            ]
+            tb = next_bucket(max(len(a) for a in all_texts), TEXT_BUCKET)
+            all_text_ids = np.zeros((b, tb), np.int32)
+            for i, a in enumerate(all_texts):
+                all_text_ids[i, : len(a)] = a
+            n_texts = jnp.asarray([len(a) for a in all_texts], jnp.int32)
 
-        scfg = options.sampling_config()
+            ref_arrays = [np.asarray(v.ref_codes, np.int32) for v in voices]
+            refs = list(ref_arrays)
+            cb = next_bucket(max(r.shape[0] for r in ref_arrays) + 1, TEXT_BUCKET)
+            hidden = self.config.talker.hidden_size
+            bos = talker_model.embed_codec(
+                self.talker_params, jnp.array([T.CODEC_BOS], jnp.int32)
+            )
+            codec_rows = jnp.zeros((b, cb, hidden), bos.dtype)
+            for i, r in enumerate(ref_arrays):
+                rows_i = self._sum_ref_codec_embeddings(r)
+                codec_rows = codec_rows.at[i, :1].set(bos)
+                codec_rows = codec_rows.at[i, 1 : r.shape[0] + 1].set(rows_i)
+            n_codecs = jnp.asarray([r.shape[0] + 1 for r in ref_arrays], jnp.int32)
+
+            prefill_rows = 9 + cb + (tb if options.icl_sequential else 0)
+            caches, arrs = self._shard_batch_arrays(
+                b,
+                new_caches(prefill_rows),
+                {
+                    "all_text_ids": jnp.asarray(all_text_ids),
+                    "n_texts": n_texts,
+                    "speaker_vecs": jnp.stack([speaker_vec(v) for v in voices]),
+                    "codec_rows": codec_rows,
+                    "n_codecs": n_codecs,
+                    "lang_ids": lang_ids,
+                    "uniforms": uniforms,
+                },
+            )
+            states, trailing, trailing_lens, pads = gbatch.prefill_voice_clone_icl_batch(
+                self.talker_params,
+                self.config.talker,
+                scfg,
+                arrs["all_text_ids"],
+                arrs["n_texts"],
+                arrs["speaker_vecs"],
+                arrs["codec_rows"],
+                arrs["n_codecs"],
+                arrs["lang_ids"],
+                caches,
+                arrs["uniforms"],
+                max_new_bucket,
+                sequential=options.icl_sequential,
+                mesh=self.mesh,
+                w8a8=self.w8a8,
+            )
+            return (states, trailing, trailing_lens, pads[0],
+                    arrs["uniforms"], scfg, frame_limits, refs)
+
+        tb = next_bucket(max(max(len(e) for e in encoded), 1), TEXT_BUCKET)
+        text_ids = np.zeros((b, tb), np.int32)
+        for i, e in enumerate(encoded):
+            text_ids[i, : len(e)] = e
+        text_lens = jnp.asarray([len(e) for e in encoded], jnp.int32)
+
+        if kind == "design":
+            chats = [
+                self._encode_text(f"<|im_start|>user\n{ins}<|im_end|>\n")
+                for ins in instructs
+            ]
+            ib = next_bucket(max(max(len(c) for c in chats), 1), TEXT_BUCKET)
+            instruct_ids = np.zeros((b, ib), np.int32)
+            for i, c in enumerate(chats):
+                instruct_ids[i, : len(c)] = c
+            instruct_lens = jnp.asarray([len(c) for c in chats], jnp.int32)
+            caches, arrs = self._shard_batch_arrays(
+                b,
+                new_caches(ib + 9),
+                {
+                    "text_ids": jnp.asarray(text_ids),
+                    "text_lens": text_lens,
+                    "instruct_ids": jnp.asarray(instruct_ids),
+                    "instruct_lens": instruct_lens,
+                    "lang_ids": lang_ids,
+                    "uniforms": uniforms,
+                },
+            )
+            states, trailing, trailing_lens, pads = gbatch.prefill_voice_design_batch(
+                self.talker_params,
+                self.config.talker,
+                scfg,
+                arrs["text_ids"],
+                arrs["text_lens"],
+                arrs["instruct_ids"],
+                arrs["instruct_lens"],
+                arrs["lang_ids"],
+                caches,
+                arrs["uniforms"],
+                max_new_bucket,
+                mesh=self.mesh,
+                w8a8=self.w8a8,
+            )
+            return (states, trailing, trailing_lens, pads[0],
+                    arrs["uniforms"], scfg, frame_limits, refs)
+
+        if any(isinstance(v, VoiceClonePrompt) for v in voices):
+            caches, arrs = self._shard_batch_arrays(
+                b,
+                new_caches(10),
+                {
+                    "text_ids": jnp.asarray(text_ids),
+                    "text_lens": text_lens,
+                    "speaker_vecs": jnp.stack([speaker_vec(v) for v in voices]),
+                    "lang_ids": lang_ids,
+                    "uniforms": uniforms,
+                },
+            )
+            states, trailing, trailing_lens, pads = gbatch.prefill_voice_clone_batch(
+                self.talker_params,
+                self.config.talker,
+                scfg,
+                arrs["text_ids"],
+                arrs["text_lens"],
+                arrs["speaker_vecs"],
+                arrs["lang_ids"],
+                caches,
+                arrs["uniforms"],
+                max_new_bucket,
+                mesh=self.mesh,
+                w8a8=self.w8a8,
+            )
+            return (states, trailing, trailing_lens, pads[0],
+                    arrs["uniforms"], scfg, frame_limits, refs)
+
+        speaker_ids = jnp.asarray(
+            [T.speaker_info(s).token_id for s in voices], jnp.int32
+        )
+        caches, arrs = self._shard_batch_arrays(
+            b,
+            new_caches(10),
+            {
+                "text_ids": jnp.asarray(text_ids),
+                "text_lens": text_lens,
+                "speaker_ids": speaker_ids,
+                "lang_ids": lang_ids,
+                "uniforms": uniforms,
+            },
+        )
         states, trailing, trailing_lens, pads = gbatch.prefill_custom_voice_batch(
             self.talker_params,
             self.config.talker,
             scfg,
-            text_ids,
-            text_lens,
-            speaker_ids,
-            lang_ids,
+            arrs["text_ids"],
+            arrs["text_lens"],
+            arrs["speaker_ids"],
+            arrs["lang_ids"],
             caches,
-            uniforms,
+            arrs["uniforms"],
             max_new_bucket,
             mesh=self.mesh,
             w8a8=self.w8a8,
         )
-        return states, trailing, trailing_lens, pads[0], uniforms, scfg
+        return (states, trailing, trailing_lens, pads[0],
+                arrs["uniforms"], scfg, frame_limits, refs)
 
     def synthesize_streaming_batch(
         self,
         texts: list[str],
-        speakers: list[str] | str = "ryan",
+        speakers: list | str = "ryan",
         languages: list[str] | str = "english",
         options: SynthesisOptions | None = None,
         seeds: list[int] | None = None,
+        instructs: list[str | None] | None = None,
     ) -> "StreamingBatchSession":
         """Batched streaming: B concurrent streams, ONE fused program per chunk.
 
@@ -945,13 +1222,43 @@ class Qwen3TTS:
         path; stream i uses seeds[i], default options.seed + i). New
         capability: the reference serves strictly one stream at a time
         (src/lib.rs:1484-1782, kv_cache.rs:262).
+
+        ``speakers`` entries may be ``VoiceClonePrompt`` objects and
+        ``instructs[i]`` switches stream i to voice-design, exactly as in
+        ``synthesize_batch`` — but one session runs ONE prompt layout: all
+        streams must group together (preset + x-vector clones coalesce; ICL
+        clones and designs each need their own session — the server groups
+        by layout signature). ICL streams feed their reference codes through
+        the shared streaming vocoder ahead of their generated frames, so
+        early chunks for long-reference streams carry no audible samples yet
+        (the clone TTFA inherently includes the reference-prefix decode).
         """
         options = self._normalize_options(options or SynthesisOptions())
-        states, trailing, trailing_lens, pad_embed, uniforms, scfg = (
-            self._prepare_batch(texts, speakers, languages, options, seeds)
+        b = len(texts)
+        if isinstance(speakers, (str, VoiceClonePrompt)):
+            speakers = [speakers] * b
+        if isinstance(languages, str):
+            languages = [languages] * b
+        if instructs is None:
+            instructs = [None] * b
+        base_seed = options.seed if options.seed is not None else 0
+        if seeds is None:
+            seeds = [base_seed + i for i in range(b)]
+        groups = self._split_batch_groups(speakers, instructs)
+        if len(groups) > 1:
+            raise ValueError(
+                "synthesize_streaming_batch runs one prompt layout per "
+                f"session; got {[k for k, _ in groups]}. Split the request "
+                "by layout (preset speakers and x-vector clones may mix)."
+            )
+        kind = groups[0][0]
+        (states, trailing, trailing_lens, pad_embed, uniforms, scfg,
+         frame_limits, refs) = self._prepare_batch_group(
+            kind, texts, speakers, languages, instructs, options, seeds
         )
         return StreamingBatchSession(
-            self, states, scfg, options, trailing, trailing_lens, pad_embed, uniforms
+            self, states, scfg, options, trailing, trailing_lens, pad_embed,
+            uniforms, frame_limits=frame_limits, refs=refs,
         )
 
     def synthesize_voice_design(
@@ -1242,6 +1549,8 @@ def _advance_and_decode_chunk_batch(
     frame_limit,
     emitted,
     chunk: int,
+    ref_codes=None,
+    ref_lens=None,
     mesh=None,
     w8a8: bool = False,
 ):
@@ -1255,6 +1564,15 @@ def _advance_and_decode_chunk_batch(
     are zero-code frames; the stack is causal, so the per-stream host-side
     trim is exact and each stream's concatenated audio equals its
     ``synthesize_batch`` output.
+
+    ICL cloning: ``ref_codes [B, Cmax, 16]`` / ``ref_lens [B]`` put each
+    stream on its own combined timeline — vocoder grid row t of stream i is
+    ``ref_codes[i, t]`` for t < ref_lens[i] and generated frame
+    ``t - ref_lens[i]`` after — so the shared-position batched vocoder state
+    stays exact per stream (its column is exactly its solo
+    [ref || generated] sequence; the host trims the reference-prefix
+    samples, the streaming equivalent of the batch path's
+    prepend-and-proportional-cut, src/lib.rs:1022-1044).
     """
     from .generation import batch as gbatch
 
@@ -1284,9 +1602,21 @@ def _advance_and_decode_chunk_batch(
     frames_ext = jnp.concatenate(
         [states.frames, jnp.zeros((b, chunk, n_codes), states.frames.dtype)], axis=1
     )
-    rows = jax.lax.dynamic_slice(
-        frames_ext, (0, emitted, 0), (b, chunk, n_codes)
-    )  # [B, chunk, 16]
+    if ref_codes is None:
+        rows = jax.lax.dynamic_slice(
+            frames_ext, (0, emitted, 0), (b, chunk, n_codes)
+        )  # [B, chunk, 16]
+    else:
+        # Grid gather: per-stream reference prefix then generated frames.
+        t_idx = emitted + jnp.arange(chunk, dtype=jnp.int32)  # [chunk]
+        gen_idx = jnp.clip(
+            t_idx[None, :] - ref_lens[:, None], 0, frames_ext.shape[1] - 1
+        )  # [B, chunk]
+        gen_rows = jnp.take_along_axis(frames_ext, gen_idx[..., None], axis=1)
+        ref_idx = jnp.clip(t_idx, 0, ref_codes.shape[1] - 1)
+        ref_rows = ref_codes[:, ref_idx]  # [B, chunk, 16]
+        in_ref = (t_idx[None, :] < ref_lens[:, None])[..., None]
+        rows = jnp.where(in_ref, ref_rows, gen_rows)
     wav, vstate = vocoder.decode_stream_chunk(
         voc_params, vcfg, vstate, jnp.swapaxes(rows, 1, 2)
     )
@@ -1779,7 +2109,8 @@ class StreamingBatchSession:
     ``synthesize_batch``) — no growth tiers: one program shape per chunk size.
     """
 
-    def __init__(self, model, states, scfg, options, trailing, trailing_lens, pad_embed, uniforms):
+    def __init__(self, model, states, scfg, options, trailing, trailing_lens,
+                 pad_embed, uniforms, frame_limits=None, refs=None):
         self.model = model
         self.states = states
         self.scfg = scfg
@@ -1792,13 +2123,37 @@ class StreamingBatchSession:
         self.frames_emitted = 0
         self._exhausted = False
         self._stream_done = [False] * self.batch
+        # Per-stream generation budgets (ICL streams carry their own caps).
+        if frame_limits is None:
+            frame_limits = jnp.full((self.batch,), options.max_length, jnp.int32)
+        self.frame_limits = frame_limits
+        self._per_max = np.asarray(jax.device_get(frame_limits), np.int64)
+        # ICL reference prefixes: each stream's vocoder timeline is
+        # [ref_codes || generated frames] (see _advance_and_decode_chunk_batch).
+        refs = refs or [None] * self.batch
+        self._ref_lens_np = np.array(
+            [0 if r is None else len(r) for r in refs], np.int64
+        )
+        cmax = int(self._ref_lens_np.max())
+        if cmax > 0:
+            ref_arr = np.zeros((self.batch, cmax, 16), np.int32)
+            for i, r in enumerate(refs):
+                if r is not None:
+                    ref_arr[i, : len(r)] = r
+            self.ref_codes = jnp.asarray(ref_arr)
+            self.ref_lens = jnp.asarray(self._ref_lens_np, jnp.int32)
+        else:
+            self.ref_codes = None
+            self.ref_lens = None
+        # Grid bound: every stream's reference prefix plus its own budget.
+        self._grid_max = int((self._ref_lens_np + self._per_max).max())
         # KV headroom: the final chunk's fixed-size slice may extend past the
         # frame bucket (rows are zeros, audio trimmed); size the vocoder cache
         # so its append never clamps.
         headroom = max(options.chunk_frames, options.first_chunk_frames or 1, 1)
         self.vstate = vocoder.init_stream_state(
             model.vocoder_config,
-            max_frames=int(states.frames.shape[1]) + headroom,
+            max_frames=int(states.frames.shape[1]) + cmax + headroom,
             batch=self.batch,
         )
         # Speculative in-flight chunk programs: (start_frame, chunk, wav, n, done).
@@ -1809,7 +2164,7 @@ class StreamingBatchSession:
         return self._exhausted
 
     def _dispatch_ahead(self, chunk: int) -> None:
-        target = min(self._spec_frontier + chunk, self.options.max_length)
+        target = min(self._spec_frontier + chunk, self._grid_max)
         self.states, self.vstate, wav_dev, n_dev, done_dev = (
             _advance_and_decode_chunk_batch(
                 self.model.talker_params,
@@ -1825,9 +2180,11 @@ class StreamingBatchSession:
                 self.trailing_lens,
                 self.pad_embed,
                 self.uniforms,
-                jnp.int32(target),
+                jnp.minimum(self.frame_limits, jnp.int32(target)),
                 jnp.int32(self._spec_frontier),
                 chunk,
+                ref_codes=self.ref_codes,
+                ref_lens=self.ref_lens,
                 mesh=self.model.mesh,
                 w8a8=self.model.w8a8,
             )
@@ -1836,7 +2193,12 @@ class StreamingBatchSession:
         self._spec_frontier = target
 
     def next_chunks(self) -> list[AudioBuffer | None] | None:
-        """Advance all live streams one chunk; None when every stream is done."""
+        """Advance all live streams one chunk; None when every stream is done.
+
+        ICL streams' early chunks may be empty buffers while the shared
+        vocoder grid is still inside their reference prefix (the prefix
+        samples are trimmed here, never emitted).
+        """
         if self._exhausted:
             return None
         chunk = max(self.options.chunk_frames, 1)
@@ -1847,33 +2209,39 @@ class StreamingBatchSession:
         steady = max(self.options.chunk_frames, 1)
         while (
             len(self._pending) <= max(self.options.streaming_lookahead, 0)
-            and self._spec_frontier < self.options.max_length
+            and self._spec_frontier < self._grid_max
         ):
             self._dispatch_ahead(steady)
         e0, csz, wav_dev, n_dev, done_dev = self._pending.pop(0)
         wav, ns, dones = jax.device_get((wav_dev, n_dev, done_dev))
         ns, dones = np.asarray(ns), np.asarray(dones)
+        spf = T.SAMPLES_PER_FRAME
         out: list[AudioBuffer | None] = []
         for i in range(self.batch):
             n_i = int(ns[i])
-            done_i = bool(dones[i]) or n_i >= self.options.max_length
-            if self._stream_done[i] or n_i <= e0:
+            tr = int(self._ref_lens_np[i])
+            n_grid = tr + n_i
+            done_i = bool(dones[i]) or n_i >= int(self._per_max[i])
+            if self._stream_done[i] or n_grid <= e0:
                 self._stream_done[i] = True
                 out.append(None)
                 continue
-            # The program ran with frame_limit == e0 + csz, so n_i <= e0 + csz.
-            true_frames = min(n_i, e0 + csz) - e0
-            out.append(
-                AudioBuffer(
-                    np.asarray(wav[i][: true_frames * T.SAMPLES_PER_FRAME]),
-                    T.OUTPUT_SAMPLE_RATE,
-                )
+            # Audible window: grid rows past this stream's reference prefix.
+            # The program ran with frame_limit <= e0 + csz, so n_grid's
+            # in-window part is fully decoded.
+            lo = max(e0, tr)
+            hi = min(e0 + csz, n_grid)
+            samples = (
+                np.asarray(wav[i][(lo - e0) * spf : (hi - e0) * spf])
+                if hi > lo
+                else np.zeros(0, np.float32)
             )
-            if done_i and n_i <= e0 + csz:
+            out.append(AudioBuffer(samples, T.OUTPUT_SAMPLE_RATE))
+            if done_i and n_grid <= e0 + csz:
                 self._stream_done[i] = True
         self.frames_emitted = e0 + csz
         if all(self._stream_done) or (
-            self._spec_frontier >= self.options.max_length and not self._pending
+            self._spec_frontier >= self._grid_max and not self._pending
         ):
             self._exhausted = True
             self._pending.clear()
