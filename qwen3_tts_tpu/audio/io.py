@@ -67,9 +67,11 @@ def save_wav(path: str | Path, samples: np.ndarray, sample_rate: int) -> None:
         w.writeframes(pcm.tobytes())
 
 
-def load_wav(path: str | Path) -> AudioBuffer:
-    """Read a WAV file; int formats scaled by 2^(bits-1), channels averaged."""
-    with wave.open(str(path), "rb") as r:
+def load_wav(path) -> AudioBuffer:
+    """Read a WAV file (path or binary file-like object); int formats scaled
+    by 2^(bits-1), channels averaged."""
+    src = path if hasattr(path, "read") else str(path)
+    with wave.open(src, "rb") as r:
         channels = r.getnchannels()
         width = r.getsampwidth()
         rate = r.getframerate()

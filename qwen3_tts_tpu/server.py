@@ -50,13 +50,36 @@ logger = logging.getLogger("qwen3_tts_tpu.server")
 
 @dataclass
 class _Request:
+    """``speaker`` is a preset name OR a VoiceClonePrompt (x-vector / ICL
+    cloning, e.g. a registered /v1/voices entry); ``instruct`` switches the
+    request to voice-design."""
+
     text: str
-    speaker: str
+    speaker: object  # str | VoiceClonePrompt
     language: str
     options: "SynthesisOptions"
+    instruct: str | None = None
     done: threading.Event = field(default_factory=threading.Event)
     result: np.ndarray | None = None
     error: str | None = None
+
+
+def _layout_kind(speaker, instruct) -> str:
+    """Prompt-layout signature component (mirrors
+    Qwen3TTS._split_batch_groups): requests only coalesce within one layout —
+    ``basic`` (preset + x-vector clones share the 10-row program), ``icl``,
+    or ``design``."""
+    from .pipeline import VoiceClonePrompt
+
+    if instruct is not None:
+        return "design"
+    if (
+        isinstance(speaker, VoiceClonePrompt)
+        and speaker.ref_codes is not None
+        and speaker.ref_text_ids is not None
+    ):
+        return "icl"
+    return "basic"
 
 
 @dataclass
@@ -71,9 +94,10 @@ class _StreamRequest:
     """
 
     text: str
-    speaker: str
+    speaker: object  # str | VoiceClonePrompt
     language: str
     options: "SynthesisOptions"
+    instruct: str | None = None
     chunks: queue.Queue = field(default_factory=queue.Queue)
     # Worker-private session state (created on the first slice).
     _iter: object | None = None
@@ -128,8 +152,31 @@ class BatchingEngine:
         from collections import deque
 
         self._deferred: deque = deque()
+        # Registered clone voices: voice_id -> VoiceClonePrompt. Reference
+        # audio is encoded ONCE at registration (x-vector + optional ICL
+        # codes); synthesis requests then pass "voice_id" and coalesce like
+        # any other traffic (the reference re-encodes per call,
+        # src/lib.rs:1132-1186 — here registration is the natural serving
+        # boundary).
+        self.voices: dict[str, object] = {}
+        self._voices_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+
+    def register_voice(self, ref_audio, ref_text: str | None = None) -> str:
+        """Encode reference audio into a reusable VoiceClonePrompt; returns
+        its voice_id."""
+        import uuid
+
+        prompt = self.model.create_voice_clone_prompt(ref_audio, ref_text)
+        voice_id = uuid.uuid4().hex[:12]
+        with self._voices_lock:
+            self.voices[voice_id] = prompt
+        return voice_id
+
+    def get_voice(self, voice_id: str):
+        with self._voices_lock:
+            return self.voices.get(voice_id)
 
     def submit(self, req: _Request, timeout: float = 300.0) -> _Request:
         self.queue.put(req)
@@ -142,10 +189,15 @@ class BatchingEngine:
         """Fields that must match for requests to share one vmapped loop.
 
         Everything except seed (per-stream) and max_length (the batch takes
-        the max; per-stream EOS truncation is exact under done-masking).
+        the max; per-stream EOS truncation is exact under done-masking) —
+        plus the prompt-layout kind: clone (ICL) and voice-design requests
+        coalesce with their own kind only, never with preset/x-vector
+        traffic (one vmapped program per layout; ICL sampling overrides
+        must not leak onto non-ICL streams).
         """
         o = r.options
         return (
+            _layout_kind(r.speaker, r.instruct),
             o.temperature,
             o.top_k,
             o.top_p,
@@ -265,10 +317,7 @@ class BatchingEngine:
                 try:
                     if len(batch) == 1:
                         r = batch[0]
-                        audio = self.model.synthesize_with_voice(
-                            r.text, r.speaker, r.language, r.options
-                        )
-                        r.result = audio.samples
+                        r.result = self._synthesize_solo(r).samples
                     else:
                         # Shared frame budget: the vmapped loop uses one bucket.
                         base = batch[0].options
@@ -288,6 +337,7 @@ class BatchingEngine:
                             [r.language for r in batch],
                             opts,
                             seeds=seeds,
+                            instructs=[r.instruct for r in batch],
                         )
                         for r, audio in zip(batch, audios):
                             r.result = audio.samples
@@ -298,6 +348,36 @@ class BatchingEngine:
                 finally:
                     for r in batch:
                         r.done.set()
+
+    def _synthesize_solo(self, r: _Request):
+        """Singleton request on the single-stream path (whole-step kernels,
+        growth tiers) — batching machinery never touches it."""
+        kind = _layout_kind(r.speaker, r.instruct)
+        if kind == "design":
+            return self.model.synthesize_voice_design(
+                r.text, r.instruct, r.language, r.options
+            )
+        if not isinstance(r.speaker, str):
+            return self.model.synthesize_voice_clone(
+                r.text, r.speaker, r.language, r.options
+            )
+        return self.model.synthesize_with_voice(
+            r.text, r.speaker, r.language, r.options
+        )
+
+    def _open_solo_stream(self, req: _StreamRequest):
+        kind = _layout_kind(req.speaker, req.instruct)
+        if kind == "design":
+            return self.model.synthesize_voice_design_streaming(
+                req.text, req.instruct, req.language, req.options
+            )
+        if not isinstance(req.speaker, str):
+            return self.model.synthesize_voice_clone_streaming(
+                req.text, req.speaker, req.language, req.options
+            )
+        return self.model.synthesize_streaming(
+            req.text, req.speaker, req.language, req.options
+        )
 
     def _run_stream_slice(self, req: _StreamRequest) -> None:
         """Advance one streaming session by ONE chunk, then yield the device.
@@ -311,10 +391,7 @@ class BatchingEngine:
         """
         try:
             if req._iter is None:
-                session = self.model.synthesize_streaming(
-                    req.text, req.speaker, req.language, req.options
-                )
-                req._iter = iter(session)
+                req._iter = iter(self._open_solo_stream(req))
             chunk = next(req._iter, None)
         except Exception as e:  # noqa: BLE001 — forward to the HTTP handler
             logger.exception("streaming synthesis failed")
@@ -361,6 +438,7 @@ class BatchingEngine:
                     [r.language for r in grp.reqs],
                     replace(base, max_length=max_len),
                     seeds=seeds,
+                    instructs=[r.instruct for r in grp.reqs],
                 )
             chunks = grp.session.next_chunks()
         except Exception as e:  # noqa: BLE001 — forward to every live member
@@ -437,6 +515,13 @@ def make_handler(engine: BatchingEngine, model):
         def do_GET(self):
             if self.path == "/healthz":
                 self._json(200, {"status": "ok"})
+            elif self.path == "/v1/voices":
+                with engine._voices_lock:
+                    voices = {
+                        vid: {"icl": p.ref_codes is not None}
+                        for vid, p in engine.voices.items()
+                    }
+                self._json(200, {"voices": voices})
             elif self.path == "/v1/model":
                 self._json(
                     200,
@@ -465,23 +550,81 @@ def make_handler(engine: BatchingEngine, model):
             )
             return payload, options
 
+        def _resolve_voice(self, payload):
+            """(speaker, instruct) from the payload: ``voice_id`` selects a
+            registered clone voice, ``instruct`` switches to voice-design;
+            plain ``speaker`` names a preset. Mutually exclusive."""
+            voice_id = payload.get("voice_id")
+            instruct = payload.get("instruct")
+            if voice_id is not None and instruct is not None:
+                raise ValueError("voice_id and instruct are mutually exclusive")
+            if voice_id is not None:
+                prompt = engine.get_voice(str(voice_id))
+                if prompt is None:
+                    raise KeyError(f"unknown voice_id {voice_id!r}")
+                return prompt, None
+            return str(payload.get("speaker", "ryan")), (
+                str(instruct) if instruct is not None else None
+            )
+
         def do_POST(self):
             if self.path == "/v1/synthesize":
                 return self._post_synthesize()
             if self.path == "/v1/synthesize_streaming":
                 return self._post_synthesize_streaming()
+            if self.path == "/v1/voices":
+                return self._post_voice()
             self._json(404, {"error": "not found"})
+
+        def _post_voice(self):
+            """Register a clone voice: {"audio_b64": <WAV bytes>, "ref_text":
+            optional transcript (enables ICL cloning)} -> {"voice_id": ...}.
+            The reference audio is encoded once; synthesis requests pass
+            ``voice_id`` and coalesce with other clone traffic."""
+            import base64
+            import io as _io
+
+            from .audio.io import load_wav
+
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                wav_bytes = base64.b64decode(payload["audio_b64"])
+                ref_audio = load_wav(_io.BytesIO(wav_bytes))
+                ref_text = payload.get("ref_text")
+            except (KeyError, ValueError, json.JSONDecodeError,
+                    EOFError, wave.Error) as e:
+                self._json(400, {"error": f"bad request: {e}"})
+                return
+            try:
+                voice_id = engine.register_voice(
+                    ref_audio, str(ref_text) if ref_text is not None else None
+                )
+            except RuntimeError as e:  # no speaker/speech encoder loaded
+                self._json(409, {"error": str(e)})
+                return
+            prompt = engine.get_voice(voice_id)
+            self._json(
+                200,
+                {
+                    "voice_id": voice_id,
+                    "icl": prompt.ref_codes is not None,
+                    "ref_seconds": ref_audio.duration,
+                },
+            )
 
         def _post_synthesize(self):
             try:
                 payload, options = self._parse_synthesis_payload()
+                speaker, instruct = self._resolve_voice(payload)
                 req = _Request(
                     text=str(payload.get("text", "")),
-                    speaker=str(payload.get("speaker", "ryan")),
+                    speaker=speaker,
                     language=str(payload.get("language", "english")),
                     options=options,
+                    instruct=instruct,
                 )
-            except (ValueError, json.JSONDecodeError) as e:
+            except (ValueError, KeyError, json.JSONDecodeError) as e:
                 self._json(400, {"error": f"bad request: {e}"})
                 return
 
@@ -506,13 +649,15 @@ def make_handler(engine: BatchingEngine, model):
             the non-streaming endpoint's."""
             try:
                 payload, options = self._parse_synthesis_payload()
+                speaker, instruct = self._resolve_voice(payload)
                 req = _StreamRequest(
                     text=str(payload.get("text", "")),
-                    speaker=str(payload.get("speaker", "ryan")),
+                    speaker=speaker,
                     language=str(payload.get("language", "english")),
                     options=options,
+                    instruct=instruct,
                 )
-            except (ValueError, json.JSONDecodeError) as e:
+            except (ValueError, KeyError, json.JSONDecodeError) as e:
                 self._json(400, {"error": f"bad request: {e}"})
                 return
 
@@ -532,7 +677,8 @@ def make_handler(engine: BatchingEngine, model):
                 if isinstance(chunk, Exception):
                     break  # mid-stream failure: truncate the stream
                 pcm = (np.clip(chunk, -1, 1) * 32767.0).astype("<i2")
-                self._write_http_chunk(pcm.tobytes())
+                if len(pcm):  # a 0-length HTTP chunk would terminate the body
+                    self._write_http_chunk(pcm.tobytes())
                 chunk = req.chunks.get(timeout=300.0)
             self.wfile.write(b"0\r\n\r\n")
 

@@ -117,9 +117,9 @@ def test_mixed_options_not_cross_batched():
     calls = []
     orig_b, orig_s = model.synthesize_batch, model.synthesize_with_voice
 
-    def spy_batch(texts, speakers="ryan", languages="english", options=None, seeds=None):
+    def spy_batch(texts, speakers="ryan", languages="english", options=None, seeds=None, instructs=None):
         calls.append(("batch", tuple(texts), options.temperature))
-        return orig_b(texts, speakers, languages, options, seeds=seeds)
+        return orig_b(texts, speakers, languages, options, seeds=seeds, instructs=instructs)
 
     def spy_single(text, speaker="ryan", language="english", options=None):
         calls.append(("single", text, options.temperature))
@@ -273,7 +273,7 @@ def test_concurrent_streams_share_one_batched_session():
     calls = []
     orig = model.synthesize_streaming_batch
 
-    def spy(texts, speakers="ryan", languages="english", options=None, seeds=None):
+    def spy(texts, speakers="ryan", languages="english", options=None, seeds=None, instructs=None):
         calls.append((tuple(texts), tuple(seeds), options.max_length))
         return orig(texts, speakers, languages, options, seeds=seeds)
 
@@ -564,3 +564,240 @@ def test_main_rejects_w8a8_without_int8(capsys):
         srv.main(["--model-dir", "/nonexistent", "--w8a8"])
     assert exc.value.code == 2
     assert "--w8a8 requires --int8" in capsys.readouterr().err
+
+
+# ---------------------------------------------------------------------------
+# Clone / voice-design serving (VERDICT r4 #4: batched ICL-clone serving)
+# ---------------------------------------------------------------------------
+
+
+def _icl_prompt(seed=1, n_ref=4, n_text=2):
+    import numpy as np
+
+    from qwen3_tts_tpu.pipeline import VoiceClonePrompt
+
+    rs = np.random.RandomState(seed)
+    return VoiceClonePrompt(
+        speaker_embedding=rs.randn(64).astype(np.float32),
+        ref_codes=rs.randint(0, 128, size=(n_ref, 16)).astype(np.int32),
+        ref_text_ids=[int(x) for x in rs.randint(3, 50, size=n_text)],
+    )
+
+
+def test_layout_signature_separation():
+    """Preset and x-vector clones share the basic layout group; ICL clones
+    and voice-design requests each get their own group."""
+    import numpy as np
+
+    from qwen3_tts_tpu.pipeline import SynthesisOptions, VoiceClonePrompt
+
+    opts = SynthesisOptions(max_length=6, seed=1)
+    sig = srv.BatchingEngine._options_signature
+    xv = VoiceClonePrompt(np.zeros(64, np.float32))
+    preset = sig(srv._Request("t", "ryan", "english", opts))
+    xvec = sig(srv._Request("t", xv, "english", opts))
+    icl = sig(srv._Request("t", _icl_prompt(), "english", opts))
+    design = sig(srv._Request("t", "ryan", "english", opts, instruct="deep voice"))
+    assert preset == xvec
+    assert len({preset, icl, design}) == 3
+
+
+def test_clone_requests_coalesce_and_match_library():
+    """Concurrent ICL clone requests run as ONE synthesize_batch call with
+    VoiceClonePrompt entries, and each result equals the library's output."""
+    import numpy as np
+
+    from qwen3_tts_tpu.pipeline import SynthesisOptions
+
+    model = tp.tiny_model()
+    calls = []
+    orig = model.synthesize_batch
+
+    def spy(texts, speakers="ryan", languages="english", options=None,
+            seeds=None, instructs=None):
+        calls.append((tuple(texts), list(speakers)))
+        return orig(texts, speakers, languages, options, seeds=seeds,
+                    instructs=instructs)
+
+    model.synthesize_batch = spy
+    engine = srv.BatchingEngine(model, max_batch=4, batch_window_ms=300)
+    p1, p2 = _icl_prompt(1), _icl_prompt(2, n_ref=2, n_text=3)
+    opts = SynthesisOptions(max_length=6, seed=5)
+    reqs = [
+        srv._Request("clone one", p1, "english", opts),
+        srv._Request("clone two", p2, "english", opts),
+    ]
+    threads = [threading.Thread(target=engine.submit, args=(r,)) for r in reqs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(r.error is None for r in reqs)
+    assert len(calls) == 1 and calls[0][1] == [p1, p2]
+    # The engine passes each request's OWN seed (both 5 here).
+    want = model.synthesize_batch(
+        ["clone one", "clone two"], [p1, p2], ["english"] * 2, opts,
+        seeds=[5, 5],
+    )
+    np.testing.assert_array_equal(reqs[0].result, want[0].samples)
+    np.testing.assert_array_equal(reqs[1].result, want[1].samples)
+
+
+def test_solo_clone_and_design_routing():
+    """Singleton clone/design requests take the dedicated solo paths."""
+    import numpy as np
+
+    from qwen3_tts_tpu.pipeline import SynthesisOptions
+
+    model = tp.tiny_model()
+    opts = SynthesisOptions(max_length=6, seed=3)
+    engine = srv.BatchingEngine(model, max_batch=4, batch_window_ms=10)
+    p = _icl_prompt(4)
+    r1 = srv._Request("solo clone", p, "english", opts)
+    engine.submit(r1)
+    assert r1.error is None
+    want = model.synthesize_voice_clone("solo clone", p, "english", opts)
+    np.testing.assert_array_equal(r1.result, want.samples)
+
+    r2 = srv._Request("solo design", "ryan", "english", opts, instruct="a calm voice")
+    engine.submit(r2)
+    assert r2.error is None
+    want2 = model.synthesize_voice_design("solo design", "a calm voice", "english", opts)
+    np.testing.assert_array_equal(r2.result, want2.samples)
+
+
+def test_stream_group_clone_coalesces():
+    """Concurrent ICL-clone streams coalesce into one batched session and
+    each reassembled stream equals its synthesize_batch audio."""
+    import numpy as np
+
+    from qwen3_tts_tpu.pipeline import SynthesisOptions
+
+    model = tp.tiny_model()
+    sessions = []
+    orig = model.synthesize_streaming_batch
+
+    def spy(texts, speakers="ryan", languages="english", options=None,
+            seeds=None, instructs=None):
+        sessions.append(tuple(texts))
+        return orig(texts, speakers, languages, options, seeds=seeds,
+                    instructs=instructs)
+
+    model.synthesize_streaming_batch = spy
+    engine = srv.BatchingEngine(model, max_batch=4, batch_window_ms=300,
+                                stream_window_ms=300)
+    p1, p2 = _icl_prompt(6, n_ref=5), _icl_prompt(7, n_ref=2)
+    opts = SynthesisOptions(max_length=8, seed=11, chunk_frames=3)
+    r1 = srv._StreamRequest("clone stream a", p1, "english", opts)
+    r2 = srv._StreamRequest("clone stream b", p2, "english", opts)
+    engine.submit_stream(r1)
+    engine.submit_stream(r2)
+    s1, s2 = _drain_stream(r1), _drain_stream(r2)
+    assert sessions == [("clone stream a", "clone stream b")]
+    want = model.synthesize_batch(
+        ["clone stream a", "clone stream b"], [p1, p2], ["english"] * 2,
+        opts, seeds=[11, 11],
+    )
+    np.testing.assert_allclose(s1, want[0].samples, atol=2e-5, rtol=0)
+    np.testing.assert_allclose(s2, want[1].samples, atol=2e-5, rtol=0)
+
+
+def test_voice_registry_http_roundtrip():
+    """POST /v1/voices registers a clone voice (encoded once); synthesize
+    with voice_id and instruct route through the HTTP layer."""
+    import base64
+    import io as _io
+
+    import numpy as np
+
+    from qwen3_tts_tpu.audio.io import AudioBuffer
+    from qwen3_tts_tpu.pipeline import VoiceClonePrompt
+
+    model = tp.tiny_model()
+    prompt = _icl_prompt(9)
+
+    def fake_create(ref_audio, ref_text=None, pad_to_seconds=None):
+        assert ref_audio.sample_rate == 24000
+        return prompt
+
+    model.create_voice_clone_prompt = fake_create
+    http = srv.serve(model, host="127.0.0.1", port=0, max_batch=2,
+                     batch_window_ms=10)
+    port = http.server_address[1]
+    threading.Thread(target=http.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        # WAV bytes for the reference audio
+        buf = _io.BytesIO()
+        import wave as _wave
+
+        with _wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(24000)
+            w.writeframes(
+                (np.sin(np.linspace(0, 100, 24000)) * 20000).astype("<i2").tobytes()
+            )
+        reg = urllib.request.Request(
+            base + "/v1/voices",
+            data=json.dumps(
+                {"audio_b64": base64.b64encode(buf.getvalue()).decode(),
+                 "ref_text": "reference words"}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(reg, timeout=60) as resp:
+            out = json.loads(resp.read())
+        assert out["icl"] is True
+        vid = out["voice_id"]
+
+        with urllib.request.urlopen(base + "/v1/voices") as resp:
+            assert vid in json.loads(resp.read())["voices"]
+
+        status, ctype, body = _post(
+            base, {"text": "cloned speech", "voice_id": vid, "seed": 4,
+                   "max_frames": 6},
+        )
+        assert status == 200 and body[:4] == b"RIFF"
+
+        status, _, body = _post(
+            base, {"text": "designed speech", "instruct": "a warm voice",
+                   "seed": 4, "max_frames": 6},
+        )
+        assert status == 200 and body[:4] == b"RIFF"
+
+        # unknown voice_id -> 400; voice_id + instruct -> 400
+        for payload in (
+            {"text": "x", "voice_id": "nope"},
+            {"text": "x", "voice_id": vid, "instruct": "y"},
+        ):
+            try:
+                _post(base, payload)
+                raise AssertionError("expected HTTPError")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+    finally:
+        http.shutdown()
+
+
+def test_voice_registry_conflict_without_encoder():
+    """Registration on a model without a speaker encoder returns 409."""
+    import base64
+
+    model = tp.tiny_model()  # no speaker encoder
+    http = srv.serve(model, host="127.0.0.1", port=0)
+    port = http.server_address[1]
+    threading.Thread(target=http.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/voices",
+            data=json.dumps({"audio_b64": base64.b64encode(b"").decode()}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code in (400, 409)
+    finally:
+        http.shutdown()
