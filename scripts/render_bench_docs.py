@@ -225,7 +225,48 @@ def render_batch_table(arts) -> str:
                 f"{r['rtf_per_stream']:.3f} | {agg} |"
             )
         out.append("")
+    ab = arts.get("w8a8_ab")
+    if ab:
+        rows = {r["batch"]: r for r in ab["rows"]}
+        parts = [
+            f"batch {b}: int8 {r['frame_ms_int8']:.1f} ms/frame vs w8a8 "
+            f"{r['frame_ms_w8a8']:.1f} ({r['w8a8_speedup_pct']:+.1f}%, "
+            f"drift {r['session_drift_pct']:.1f}%)"
+            for b, r in sorted(rows.items())
+        ]
+        out.append(
+            "Same-session int8↔w8a8 A-B-A (benches/w8a8_ab.py): "
+            + "; ".join(parts)
+            + ". w8a8 is a measured LOSS on v5e — the dynamic per-row "
+            "activation-quantize chain (abs-max, rescale, cast) costs more "
+            "VPU time than the dequant cast it removes — so it stays opt-in "
+            "for A/B only and is NOT recommended for serving."
+        )
     return "\n".join(out).rstrip()
+
+
+def render_clone_batch_table(arts) -> str:
+    art = arts.get("clone_batch_int8")
+    if art is None:
+        return ""
+    out = [
+        f"**int8** (1.7B, {art['frames']} frames/stream generated, "
+        f"{art['ref_frames']}-frame ≈ {art['ref_frames'] / 12.5:.0f} s "
+        "reference prompt per stream):\n",
+        "| batch | frame ms (batch) | RTF per stream | aggregate RTF | scaling |",
+        "|---|---|---|---|---|",
+    ]
+    for r, s in zip(art["rows"], art["scaling_vs_batch1"]):
+        agg = (
+            f"**{r['aggregate_rtf']:.3f}**"
+            if r["batch"] == art["rows"][-1]["batch"]
+            else f"{r['aggregate_rtf']:.3f}"
+        )
+        out.append(
+            f"| {r['batch']} | {r['frame_ms_batch']:.1f} | "
+            f"{r['rtf_per_stream']:.3f} | {agg} | {s:.2f}× |"
+        )
+    return "\n".join(out)
 
 
 def render_stream_batch_table(arts) -> str:
@@ -330,6 +371,7 @@ BLOCKS = {
     "length-independence": render_length_independence,
     "icl-paragraph": render_icl,
     "batch-table": render_batch_table,
+    "clone-batch-table": render_clone_batch_table,
     "stream-batch-table": render_stream_batch_table,
     "roofline-table": render_roofline,
     "status-table": render_status_table,
@@ -356,6 +398,8 @@ def main(argv=None) -> int:
         "batch_1p7b": load("BENCH_batch_1p7b.json"),
         "batch_1p7b_int8": load("BENCH_batch_1p7b_int8.json"),
         "batch_1p7b_int8_w8a8": load("BENCH_batch_1p7b_int8_w8a8.json"),
+        "w8a8_ab": load("BENCH_w8a8_ab_1p7b.json"),
+        "clone_batch_int8": load("BENCH_clone_batch_1p7b_int8.json"),
         "stream_batch_1p7b": load("BENCH_stream_batch_1p7b.json"),
         "stream_batch_1p7b_int8": load("BENCH_stream_batch_1p7b_int8.json"),
         "icl_ab": load("BENCH_icl_ab_1p7b.json"),
