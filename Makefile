@@ -47,14 +47,25 @@ parity: native
 	$(PY) scripts/test_variants.py --ckpt $(MODEL_DIR)
 	$(PY) scripts/quant_report.py --model-dir $(MODEL_DIR) --out /tmp/quant_report.json
 
+# Serving-config parity matrix: {solo, mesh} x {bf16, int8, w8a8} through
+# from_pretrained on a checkpoint (virtual CPU mesh). Runs at tiny synthetic
+# dims in the drill; for a REAL checkpoint run it with a small --frames
+# budget (XLA:CPU compiles at 1.7B dims take ~15 min per program — see
+# docs/VALIDATION.md).
+parity-matrix:
+	@test -n "$(MODEL_DIR)" || (echo "usage: make parity-matrix MODEL_DIR=/path/to/ckpt"; exit 1)
+	$(PY) scripts/parity_matrix.py --model-dir $(MODEL_DIR)
+
 # Checkpoint-landing drill: prove the full `make parity` chain end-to-end on
 # a synthetic checkpoint (CPU; lenient audio gates since the weights are
-# random noise). CI-runnable with no checkpoint or TPU access.
+# random noise), then the serving-config matrix. CI-runnable with no
+# checkpoint or TPU access.
 parity-drill: native
 	$(PY) scripts/make_synthetic_ckpt.py --out /tmp/qwen3_synth_ckpt
 	QWEN3_TTS_PLATFORM=cpu $(MAKE) parity MODEL_DIR=/tmp/qwen3_synth_ckpt \
 		CLI_FLAGS="--min-new-tokens 12 --frames 24" \
 		QC_FLAGS="--min-rms 0 --max-clipping 1 --max-leading-silence 99 --max-dc 1"
+	$(MAKE) parity-matrix MODEL_DIR=/tmp/qwen3_synth_ckpt
 
 profile-trace:
 	$(PY) -m qwen3_tts_tpu --model-dir $(MODEL_DIR) --text "profile me" \

@@ -7,7 +7,10 @@ Times, each as ONE jitted program with an internal data-chained fori_loop
   * cp       — code_predictor.predict_acoustic_codes alone,
   * sampling — penalties + sample + penalty-mask update alone,
   * embed    — semantic embed + acoustic embedding sum + trailing select,
-  * full     — the production generate_frames while_loop.
+  * full     — the production generate_frames while_loop,
+  * prefill  — full-prompt talker.prefill at a typical bucket (per call),
+  * vocoder  — batch decode_jit at a typical bucket (per frame), with its
+               FLOP/byte counts taken from XLA's compiled cost analysis.
 
 glue = full - (talker + cp + sampling + embed) is the serialization /
 bookkeeping cost the kernels don't own. Reference for the exercise:
@@ -40,6 +43,19 @@ def main():
     ap.add_argument(
         "--hbm-gbs", type=float, default=819.0,
         help="HBM bandwidth for the roofline (v5e: 819 GB/s)",
+    )
+    ap.add_argument(
+        "--prefill-bucket", type=int, default=48,
+        help="prompt rows for the prefill component (pipeline bucket)",
+    )
+    ap.add_argument(
+        "--vocoder-frames", type=int, default=128,
+        help="codes frames for the vocoder component (decode bucket)",
+    )
+    ap.add_argument(
+        "--f32-tflops", type=float, default=32.8,
+        help="f32 MXU peak for the vocoder compute bound (v5e: 197 bf16 "
+        "TFLOP/s / 6 passes for 'highest'-precision f32 = 32.8)",
     )
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
@@ -200,7 +216,59 @@ def main():
     known = sum(results[k] for k in ("talker_ms", "cp_ms", "sampling_ms", "embed_ms"))
     results["glue_ms"] = results["full_ms"] - known
 
-    results["roofline"] = roofline(model, results, rows, args.hbm_gbs)
+    # --- prefill: full-prompt talker.prefill at a typical bucket, chained ---
+    note("compiling prefill loop...")
+    pb = args.prefill_bucket
+    n_pre = 16
+    prompt0 = jnp.zeros((1, pb, hidden), jnp.bfloat16) + 0.01
+
+    @jax.jit
+    def prefill_loop(tp, p0, cache):
+        def body(i, carry):
+            p, cache = carry
+            last, logits, cache = talker.prefill(tp, tcfg, p, jnp.int32(pb), cache)
+            # chain: next prompt depends on this prefill's output
+            return (p + last * 1e-9 + logits[0, 0] * 1e-12, cache)
+        return jax.lax.fori_loop(0, n_pre, body, (p0, cache))
+
+    cache_pre = nn.init_kv_cache(tcfg.layer_stack(), 1, rows, jnp.bfloat16)
+    jax.block_until_ready(prefill_loop(tp, prompt0, cache_pre))
+    t0 = time.perf_counter()
+    jax.block_until_ready(prefill_loop(tp, prompt0, cache_pre))
+    results["prefill_ms"] = (time.perf_counter() - t0) * 1e3 / n_pre
+    results["prefill_bucket"] = pb
+
+    # --- vocoder: batch decode at a typical bucket ---
+    note("compiling vocoder decode...")
+    from qwen3_tts_tpu.models.codec import vocoder as V
+
+    vf = args.vocoder_frames
+    codes = jnp.ones((1, 16, vf), jnp.int32)
+    vp, vcfg = model.vocoder_params, model.vocoder_config
+    jax.block_until_ready(V.decode_jit(vp, vcfg, codes))
+    t0 = time.perf_counter()
+    jax.block_until_ready(V.decode_jit(vp, vcfg, codes))
+    results["vocoder_ms"] = (time.perf_counter() - t0) * 1e3 / vf
+    results["vocoder_frames"] = vf
+    # FLOPs / HBM bytes of the compiled decode program from XLA itself.
+    try:
+        ca = (
+            jax.jit(V.decode, static_argnames=("cfg",))
+            .lower(vp, vcfg, codes)
+            .compile()
+            .cost_analysis()
+        )
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        results["vocoder_flops"] = float(ca.get("flops", 0.0))
+        results["vocoder_bytes"] = float(ca.get("bytes accessed", 0.0))
+    except Exception as e:  # noqa: BLE001 — cost analysis is best-effort
+        note(f"cost_analysis unavailable: {e}")
+        results["vocoder_flops"] = results["vocoder_bytes"] = 0.0
+
+    results["roofline"] = roofline(
+        model, results, rows, args.hbm_gbs, f32_tflops=args.f32_tflops
+    )
 
     for k, v in results.items():
         if k == "roofline":
@@ -217,7 +285,8 @@ def _tree_bytes(tree) -> int:
     return sum(l.nbytes for l in jax.tree.leaves(tree) if hasattr(l, "nbytes"))
 
 
-def roofline(model, results, rows: int, hbm_gbs: float) -> dict:
+def roofline(model, results, rows: int, hbm_gbs: float,
+             f32_tflops: float = 32.8) -> dict:
     """Analytic HBM bytes per frame per component vs the measured time.
 
     Batch-1 decode is weight-streaming-bound, so the physics bound for each
@@ -232,10 +301,17 @@ def roofline(model, results, rows: int, hbm_gbs: float) -> dict:
               prefill + 15 codes; ops/fused_layer.cp_resident_layers), plus
               all 15 lm_heads (one per step) and the mtp projection.
               Without the kernel, all layers re-stream every step.
+      prefill streams the canonical (non-stream-pack) weight tree once plus
+              the codec head; the S x S attention FLOPs at prompt buckets
+              (<= 256 rows) are << the MXU bound and excluded. Per CALL.
+      vocoder compute-heavy (f32 convs at 24 kHz sample rate), so its bound
+              is max(bytes/BW, flops/f32-peak) with both counts taken from
+              XLA's compiled cost analysis. Per FRAME.
 
     Embedding-table row gathers and activation traffic are excluded
     (≤ a few hundred KB/frame). ``pct_of_bound`` is bound_ms/measured_ms —
-    100% means the measured loop moves weights at full HBM bandwidth.
+    100% means the measured loop moves weights at full HBM bandwidth
+    (or, for the vocoder, runs at the binding resource's peak).
     """
     from qwen3_tts_tpu.ops import fused_layer as FL
 
@@ -298,6 +374,38 @@ def roofline(model, results, rows: int, hbm_gbs: float) -> dict:
         "measured_ms": round(meas, 3) if meas else None,
         "pct_of_bound": round(100 * bound / meas, 1) if meas else None,
     }
+
+    # Prefill: one pass over the canonical weight tree + codec head (per
+    # CALL, not per frame — it happens once per utterance).
+    if results.get("prefill_ms"):
+        pre_bytes = _tree_bytes(tp["layers"]) + _tree_bytes(tp["codec_head"])
+        out["prefill"] = dict(
+            row("prefill", pre_bytes), per="call",
+            bucket_rows=results.get("prefill_bucket"),
+        )
+
+    # Vocoder: bound by whichever of HBM bytes / f32 MXU FLOPs binds, both
+    # from XLA's own cost analysis of the compiled decode program.
+    if results.get("vocoder_ms"):
+        vf = results.get("vocoder_frames") or 1
+        vflops = results.get("vocoder_flops", 0.0)
+        vbytes = results.get("vocoder_bytes", 0.0)
+        bw_ms = vbytes / (hbm_gbs * 1e9) * 1e3 / vf
+        fl_ms = vflops / (f32_tflops * 1e12) * 1e3 / vf
+        bound_ms = max(bw_ms, fl_ms)
+        meas = results["vocoder_ms"]
+        out["vocoder"] = {
+            "bytes_per_frame": int(vbytes / vf),
+            "gb_per_frame": round(vbytes / vf / 1e9, 4),
+            "gflops_per_frame": round(vflops / vf / 1e9, 2),
+            "f32_tflops": f32_tflops,
+            "binding_resource": "flops" if fl_ms >= bw_ms else "bytes",
+            "bound_ms": round(bound_ms, 3),
+            "measured_ms": round(meas, 3),
+            "pct_of_bound": round(100 * bound_ms / meas, 1) if meas else None,
+            "per": "frame",
+            "bucket_frames": vf,
+        }
     return out
 
 
@@ -306,11 +414,14 @@ def print_roofline(r: dict, hbm_gbs: float) -> None:
         f"\nroofline @ {hbm_gbs:.0f} GB/s HBM "
         f"(cache {r['cache_rows']} rows, {r['cp_resident_layers']} CP layers resident):"
     )
-    print(f"{'component':<10} {'GB/frame':>9} {'bound ms':>9} {'meas ms':>9} {'% bound':>8}")
-    for name in ("talker", "cp", "frame"):
-        e = r[name]
+    print(f"{'component':<16} {'GB':>9} {'bound ms':>9} {'meas ms':>9} {'% bound':>8}")
+    for name in ("talker", "cp", "frame", "prefill", "vocoder"):
+        e = r.get(name)
+        if e is None:
+            continue
+        label = name if e.get("per", "frame") == "frame" else f"{name}/call"
         print(
-            f"{name:<10} {e['gb_per_frame']:>9.3f} {e['bound_ms']:>9.3f} "
+            f"{label:<16} {e['gb_per_frame']:>9.3f} {e['bound_ms']:>9.3f} "
             f"{e['measured_ms'] if e['measured_ms'] is not None else float('nan'):>9.3f} "
             f"{e['pct_of_bound'] if e['pct_of_bound'] is not None else float('nan'):>8.1f}"
         )

