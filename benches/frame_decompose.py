@@ -271,9 +271,10 @@ def main():
     )
 
     for k, v in results.items():
-        if k == "roofline":
+        if not k.endswith("_ms"):
             continue
-        print(f"{k:<14} {v:8.3f} ms/frame")
+        unit = "ms/call" if k == "prefill_ms" else "ms/frame"
+        print(f"{k:<14} {v:8.3f} {unit}")
     print_roofline(results["roofline"], args.hbm_gbs)
     if args.json:
         Path(args.json).write_text(json.dumps(results))
