@@ -144,7 +144,16 @@ def convnext_block(x: jnp.ndarray, p: dict) -> jnp.ndarray:
 
 
 def residual_unit(x: jnp.ndarray, p: dict, dilation: int) -> jnp.ndarray:
-    """Snake -> dilated causal conv k7 -> Snake -> 1x1 conv -> residual."""
+    """Snake -> dilated causal conv k7 -> Snake -> 1x1 conv -> residual.
+
+    On TPU the f32 tail stages (C <= 512) run as ONE fused Pallas kernel
+    (fused_blocks.py): the taps form below issues 7 un-fusable dots per
+    conv, ~14x the unit's ideal HBM traffic on the 1920-samples/frame tail.
+    """
+    from . import fused_blocks
+
+    if fused_blocks.residual_unit_should_fuse(x):
+        return fused_blocks.residual_unit(x, p, dilation)
     h = snake_beta(x, p["act1_alpha"], p["act1_beta"])
     h = causal_conv1d(h, p["conv1_w"], p["conv1_b"], dilation=dilation)
     h = snake_beta(h, p["act2_alpha"], p["act2_beta"])

@@ -276,6 +276,13 @@ def _convnext_stream(x, dw_state, p):
 
 
 def _residual_unit_stream(x, st, p, dilation: int):
+    from . import fused_blocks
+
+    if fused_blocks.residual_unit_should_fuse(x):
+        # Same fused kernel as the batch path (streaming must track batch
+        # decode); the carry is the RAW input tail — equivalent to the
+        # post-snake carry below since snake is pointwise and snake(0) == 0.
+        return fused_blocks.residual_unit_stream(x, st, p, dilation)
     h = blocks.snake_beta(x, p["act1_alpha"], p["act1_beta"])
     h, new_st = _conv_stream(h, st, p["conv1_w"], p["conv1_b"], dilation=dilation)
     h = blocks.snake_beta(h, p["act2_alpha"], p["act2_beta"])
