@@ -31,6 +31,7 @@ def main():
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--w8a8", action="store_true",
                     help="with --int8: int8 activations (int8 x int8 MXU dots)")
+    ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
     from qwen3_tts_tpu import SynthesisOptions, tokens as T
@@ -120,6 +121,8 @@ def main():
         "rows": results,
     }
     print(json.dumps(summary), flush=True)
+    if args.json:
+        Path(args.json).write_text(json.dumps(summary, indent=2))
 
 
 if __name__ == "__main__":

@@ -12,6 +12,10 @@ import jax
 import jax.numpy as jnp
 
 from qwen3_tts_tpu.ops import nn
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy integration tier; `make test-fast` skips
+
 
 
 def test_tiers_cover_max_seq():

@@ -20,6 +20,9 @@ from qwen3_tts_tpu.pipeline import SynthesisOptions, VoiceClonePrompt
 from test_pipeline import OPTS, tiny_model
 from test_streaming_batch import collect
 
+pytestmark = pytest.mark.slow  # heavy integration tier; `make test-fast` skips
+
+
 
 @pytest.fixture(scope="module")
 def model():

@@ -16,6 +16,9 @@ import pytest
 
 from qwen3_tts_tpu.pipeline import Qwen3TTS, SynthesisOptions, VoiceClonePrompt
 
+pytestmark = pytest.mark.slow  # heavy integration tier; `make test-fast` skips
+
+
 # Tiny but structurally-complete dimensions.
 T_HID = 64
 T_TEXT_DIM = 32

@@ -8,6 +8,9 @@ import pytest
 import tests.test_pipeline as tp
 from qwen3_tts_tpu import cli
 
+pytestmark = pytest.mark.slow  # heavy integration tier; `make test-fast` skips
+
+
 
 @pytest.fixture()
 def patched_model(monkeypatch):

@@ -57,6 +57,7 @@ def test_voice_clone_without_encoder_raises(model):
         )
 
 
+@pytest.mark.slow
 def test_options_plumbed_into_generation(model):
     """Different sampling options must change the output (same seed)."""
     a = model.synthesize_with_voice(

@@ -31,6 +31,9 @@ from qwen3_tts_tpu.models.speaker import SpeakerEncoder
 from qwen3_tts_tpu.ops import nn
 from scripts import torch_oracle as TO
 
+pytestmark = pytest.mark.slow  # heavy integration tier; `make test-fast` skips
+
+
 TCFG = TalkerConfig(
     text_embed_dim=tc.T_TEXT_DIM,
     hidden_size=tc.T_HID,

@@ -17,6 +17,9 @@ from qwen3_tts_tpu.models import weights as W
 from qwen3_tts_tpu.models.config import CodePredictorConfig
 from qwen3_tts_tpu.ops import fused_layer, quant
 
+pytestmark = pytest.mark.slow  # heavy integration tier; `make test-fast` skips
+
+
 CFG = CodePredictorConfig(
     hidden_size=64, intermediate_size=96, num_hidden_layers=2,
     num_attention_heads=4, num_key_value_heads=2, head_dim=16, vocab_size=128,

@@ -9,6 +9,9 @@ from qwen3_tts_tpu.models import code_predictor as cp
 from qwen3_tts_tpu.models import weights as W
 from qwen3_tts_tpu.models.config import CodePredictorConfig
 
+pytestmark = pytest.mark.slow  # heavy integration tier; `make test-fast` skips
+
+
 
 @pytest.mark.parametrize("with_projection", [False, True])
 def test_jacobi_matches_sequential(with_projection):

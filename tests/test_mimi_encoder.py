@@ -12,6 +12,9 @@ transformers = pytest.importorskip("transformers")
 
 from qwen3_tts_tpu.models.codec.encoder import Encoder12Hz, MimiEncoderConfig
 
+pytestmark = pytest.mark.slow  # heavy integration tier; `make test-fast` skips
+
+
 
 def small_hf_mimi():
     from transformers.models.mimi.configuration_mimi import MimiConfig

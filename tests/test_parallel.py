@@ -4,6 +4,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy integration tier; `make test-fast` skips
+
 
 def test_make_mesh_shapes():
     from qwen3_tts_tpu.parallel import sharding as S

@@ -184,6 +184,7 @@ def test_voice_clone_streaming_xvector(model):
     assert all(c.sample_rate == 24000 for c in chunks)
 
 
+@pytest.mark.slow
 def test_voice_clone_streaming_icl_front_cut(model):
     """ICL streaming: the reference-audio context is cut from chunk 1 exactly
     (each chunk yields chunk_frames * 1920 samples, ref frames excluded)."""
@@ -249,6 +250,7 @@ def test_capability_probes():
     assert not vd.supports_preset_speakers()
 
 
+@pytest.mark.slow
 def test_segmented_growth_token_exact(model, monkeypatch):
     """Cache growth across segments must not change a single code.
 
@@ -271,6 +273,7 @@ def test_segmented_growth_token_exact(model, monkeypatch):
     np.testing.assert_array_equal(frames_grown, frames_full)
 
 
+@pytest.mark.slow
 def test_segmented_growth_streaming_chunks(model):
     """Chunked pull across a growth boundary stays frame-exact."""
     opts = SynthesisOptions(max_length=280, seed=7, min_new_tokens=280, chunk_frames=100)
@@ -296,6 +299,7 @@ def test_streaming_sample_exact_vs_batch(model):
     np.testing.assert_allclose(stream, batch.samples, rtol=0, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_streaming_sample_exact_with_growth(model):
     """Exact streaming across a buffer-growth tier boundary (the KV pad path
     in StreamingSession._grow)."""
@@ -342,6 +346,7 @@ def test_streaming_exact_icl_prefix(model):
     np.testing.assert_allclose(stream, expect, rtol=0, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_streaming_lookahead_parity(model):
     """Speculative dispatch-ahead (streaming_lookahead, journal R3.6) must
     not change a sample: the chunk stream with lookahead=2 equals the
@@ -380,6 +385,7 @@ def test_streaming_lookahead_then_run_to_audio(model):
     np.testing.assert_allclose(stream, batch.samples, rtol=0, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_streaming_legacy_mode_still_available(model):
     """streaming_exact=False reproduces the reference's chunk-local decode."""
     opts = SynthesisOptions(max_length=8, seed=42, chunk_frames=3, streaming_exact=False)
@@ -407,6 +413,7 @@ def test_run_to_audio_matches_staged(model):
     np.testing.assert_allclose(audio.samples, batch.samples, rtol=0, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_run_to_audio_multi_chunk_growth(model):
     """Pipelined path across several chunk programs and a buffer-growth tier
     boundary (speculative dispatch + drain ordering)."""
@@ -438,6 +445,7 @@ def _icl_prompt(n_ref=7, seed=9):
     )
 
 
+@pytest.mark.slow
 def test_run_to_audio_voice_clone_icl(model):
     """Non-streaming clone via the pipelined path equals the staged debug
     path (prepend-and-proportional-cut) up to vocoder ulps."""

@@ -1,6 +1,10 @@
 """Fusion-regression budget: the hot paths stay single-program, host-free
 (scripts/count_programs.py; reference equivalent: scripts/count-kernels.sh)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy integration tier; `make test-fast` skips
+
 
 def test_program_budgets():
     import sys

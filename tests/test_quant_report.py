@@ -9,6 +9,10 @@ import json
 import subprocess
 import sys
 from pathlib import Path
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy integration tier; `make test-fast` skips
+
 
 REPO = Path(__file__).resolve().parent.parent
 

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from qwen3_tts_tpu.models.codec.legacy_decoder import CodecDecoder, LegacyDecoderConfig
 from qwen3_tts_tpu.models.codec.quantizer import (
@@ -45,6 +46,7 @@ def test_rvq_residual_reduces_error():
     assert err8 < err1
 
 
+@pytest.mark.slow
 def test_legacy_decoder_shapes():
     cfg = LegacyDecoderConfig(
         hidden_size=32,

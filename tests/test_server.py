@@ -10,6 +10,9 @@ import pytest
 import tests.test_pipeline as tp
 from qwen3_tts_tpu import server as srv
 
+pytestmark = pytest.mark.slow  # heavy integration tier; `make test-fast` skips
+
+
 
 @pytest.fixture(scope="module")
 def running_server():

@@ -8,6 +8,9 @@ import pytest
 from qwen3_tts_tpu.models import speaker
 from qwen3_tts_tpu.models.config import SpeakerEncoderConfig
 
+pytestmark = pytest.mark.slow  # heavy integration tier; `make test-fast` skips
+
+
 torch = pytest.importorskip("torch")
 
 

@@ -15,6 +15,9 @@ from qwen3_tts_tpu.pipeline import SynthesisOptions
 
 from test_pipeline import tiny_model
 
+pytestmark = pytest.mark.slow  # heavy integration tier; `make test-fast` skips
+
+
 
 @pytest.fixture(scope="module")
 def model():

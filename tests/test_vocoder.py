@@ -7,6 +7,9 @@ import pytest
 
 from qwen3_tts_tpu.models.codec import blocks, vocoder
 
+pytestmark = pytest.mark.slow  # heavy integration tier; `make test-fast` skips
+
+
 torch = pytest.importorskip("torch")
 
 
