@@ -34,7 +34,7 @@ def _xla_unit(x, p, dilation):
     return x + h
 
 
-@pytest.mark.parametrize("c", [96, 192])
+@pytest.mark.parametrize("c", [48, 96, 192])
 @pytest.mark.parametrize("dilation", [1, 3, 9])
 def test_fused_unit_matches_xla(c, dilation):
     rs = np.random.RandomState(c + dilation)
